@@ -1,0 +1,237 @@
+package graft
+
+import graft.ingest.TokenGen
+import graft.maintain.{Cluster, Compact, Expire, Merge}
+import graft.table.TokenTable
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract query implementations (SparkEntry delegates here).
+  *
+  * The maintenance queries are END-TO-END oracle checks: they build a
+  * real TokenTable from the driver's `documents` parquet, run the
+  * maintenance operator, scan the result back, and project columns whose
+  * DuckDB oracle is the *direct tokenization of the input* — because
+  * every maintenance op must preserve table state exactly (the
+  * byte-equal token-array invariant). A hash mismatch in ANY of these
+  * means the engine corrupted data.
+  */
+object Queries {
+
+  /** Deterministic cross-engine "tokenizer" over documents.text: token i
+    * = length of the i-th whitespace-separated word. Mirrored 1:1 in
+    * DuckDB SQL (`list_transform(regexp_extract_all(...), w -> len(w))`).
+    */
+  def tokenizedDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val words = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    docs.select(
+      format_string("doc_%012d", col("doc_id")).as("doc_id"),
+      transform(words, w => length(w).cast("int")).as("tokens"),
+      size(words).cast("int").as("n_tok"),
+      col("source"))
+  }
+
+  /** The scan projection compared against DuckDB: per-row token checksum
+    * without shipping the array through the comparator.
+    */
+  def scanProjection(scan: DataFrame): DataFrame =
+    scan.select(
+      col("doc_id"),
+      col("source"),
+      col("n_tok").cast("long").as("n_tok"),
+      aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("tok_sum"))
+
+  /** Oracle for every state-preserving maintenance query. */
+  val tokenizedDocsSql: String =
+    """SELECT printf('doc_%012d', doc_id) AS doc_id,
+      |       source,
+      |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |       CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'), w -> len(w))), 0) AS BIGINT) AS tok_sum
+      |FROM documents""".stripMargin
+
+  /** Build (or rebuild) a scratch TokenTable from `documents`, ingesting
+    * in `commits` small batches so compaction has real work to do.
+    * Deterministic location per (name, dir); wiped on entry so queries
+    * are idempotent across Verify/Bench runs.
+    */
+  def buildTable(spark: SparkSession, dir: String, name: String,
+      commits: Int): TokenTable = {
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_q/${name}_" +
+      math.abs(dir.hashCode).toString
+    val p = Paths.get(loc)
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      try st.iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally st.close()
+    }
+    val t = TokenTable.create(spark, loc)
+    val rows = tokenizedDocs(spark, dir)
+      .withColumn("__c", pmod(xxhash64(col("doc_id")), lit(commits.toLong)))
+    (0 until commits).foreach { c =>
+      t.append(rows.filter(col("__c") === c).drop("__c"))
+    }
+    t
+  }
+
+  // ------------------------------------------------- maintenance queries
+
+  def m1CompactScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(spark, dir, "m1", commits = 8)
+    val res = Compact.run(t, targetBytes = 8L * 1024 * 1024, jobId = "q-m1")
+    require(res.binsRewritten > 0, "compaction found nothing to do")
+    scanProjection(t.scan())
+  }
+
+  def m2ZorderScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(spark, dir, "m2", commits = 6)
+    Cluster.run(t, Cluster.ZOrder, "q-m2", targetBytes = 64L * 1024)
+    scanProjection(t.scan())
+  }
+
+  def m2HilbertScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(spark, dir, "m2h", commits = 6)
+    Cluster.run(t, Cluster.Hilbert, "q-m2h", targetBytes = 64L * 1024)
+    scanProjection(t.scan())
+  }
+
+  /** MERGE INTO: updates for doc_id%7==0 (tokens := [n_chars%50, 1, 2]),
+    * inserts for doc_id%13==0 (re-keyed +1000000, same tokens). The
+    * oracle reproduces the post-merge state in pure SQL.
+    */
+  def m6MergeScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(spark, dir, "m6", commits = 4)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val updates = docs.filter(col("doc_id") % 7 === 0).select(
+      format_string("doc_%012d", col("doc_id")).as("doc_id"),
+      array(pmod(col("n_chars"), lit(50)).cast("int"), lit(1), lit(2)).as("tokens"),
+      lit(3).as("n_tok"),
+      col("source"))
+    val inserts = tokenizedDocs(spark, dir)
+      .filter(expr("CAST(substring(doc_id, 5) AS BIGINT) % 13 = 0"))
+      .withColumn("doc_id",
+        format_string("doc_%012d", expr("CAST(substring(doc_id, 5) AS BIGINT) + 1000000")))
+    val source = updates.unionByName(inserts)
+      .withColumn("precedence", monotonically_increasing_id())
+    Merge.mergeInto(t, source, "precedence", "q-m6")
+    scanProjection(t.scan())
+  }
+
+  val m6MergeSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id AS raw_id, printf('doc_%012d', doc_id) AS doc_id, source,
+      |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |         CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'), w -> len(w))), 0) AS BIGINT) AS tok_sum,
+      |         n_chars
+      |  FROM documents
+      |), updates AS (
+      |  SELECT doc_id, source, CAST(3 AS BIGINT) AS n_tok,
+      |         CAST(n_chars % 50 + 3 AS BIGINT) AS tok_sum
+      |  FROM toks WHERE raw_id % 7 = 0
+      |), inserts AS (
+      |  SELECT printf('doc_%012d', raw_id + 1000000) AS doc_id, source, n_tok, tok_sum
+      |  FROM toks WHERE raw_id % 13 = 0
+      |)
+      |SELECT doc_id, source, n_tok, tok_sum FROM toks WHERE raw_id % 7 <> 0
+      |UNION ALL SELECT * FROM updates
+      |UNION ALL SELECT * FROM inserts""".stripMargin
+
+  def m4ExpireScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(spark, dir, "m4", commits = 6)
+    Compact.run(t, targetBytes = 8L * 1024 * 1024, jobId = "q-m4")
+    val res = Expire.run(t, retainLast = 1)
+    require(res.deletedFiles > 0, "expiry found no orphans after compaction")
+    scanProjection(t.scan())
+  }
+
+  // ------------------------------------------------ reference-op queries
+
+  /** D1 first-wins dedup as a driver-visible SQL query: first event per
+    * (user_id, event_type) in event_id (offset) order.
+    */
+  def d1DedupFirstWins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  val d1Sql: String =
+    """SELECT event_id, user_id, event_type, value FROM (
+      |  SELECT event_id, user_id, event_type, value,
+      |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+      |  FROM events) WHERE rn = 1""".stripMargin
+
+  /** D2 sort + limit (offset order). */
+  def d2SortLimit(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .orderBy(col("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .limit(100)
+
+  val d2Sql: String =
+    "SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 100"
+
+  /** T1 batch trigger analog: max_buffer_size=1000 batch boundaries. */
+  def t1BatchTrigger(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy((col("event_id") / 1000).cast("long").as("batch_id"))
+      .agg(count(lit(1)).as("batch_rows"),
+        min(col("event_id")).as("first_offset"),
+        max(col("event_id")).as("last_offset"))
+
+  val t1Sql: String =
+    """SELECT CAST(event_id // 1000 AS BIGINT) AS batch_id,
+      |       count(*) AS batch_rows,
+      |       min(event_id) AS first_offset, max(event_id) AS last_offset
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** P1 JSON parse + projection (the reference's payload path). */
+  def p1ParseProject(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  val p1Sql: String =
+    "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events"
+
+  /** M3 stats aggregation: per-source min/max/sum (the manifest-rewrite
+    * aggregation over the documents analog).
+    */
+  def m3StatsAgg(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("file_rows"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        min(col("n_chars")).as("min_n"),
+        max(col("n_chars")).as("max_n"),
+        sum(col("n_chars")).as("sum_n"))
+
+  val m3Sql: String =
+    """SELECT source, count(*) AS file_rows,
+      |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+      |       min(n_chars) AS min_n, max(n_chars) AS max_n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_n
+      |FROM documents GROUP BY source""".stripMargin
+
+  /** M4 orphan-set computation as a driver-visible set op: orders with
+    * no lineitems (left anti join — the GC reachability pattern).
+    */
+  def m4OrphanAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  val m4Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin
+}

@@ -1,13 +1,52 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry with a matching `oracleSql` is verified by the
+  * driver against DuckDB on the same parquet tables; maintenance-engine
+  * entries (m1/m2/m6/m4) build a real TokenTable, run the operator, and
+  * scan back — so the oracle checks the engine end-to-end.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * full maintenance cycle (ingest -> compact -> scan).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.m1CompactScan(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // North-star maintenance ops (end-to-end TokenTable round-trips)
+    "m1_compact_scan" -> ((s, d) => Queries.m1CompactScan(s, d)),
+    "m2_zorder_scan" -> ((s, d) => Queries.m2ZorderScan(s, d)),
+    "m2_hilbert_scan" -> ((s, d) => Queries.m2HilbertScan(s, d)),
+    "m6_merge_scan" -> ((s, d) => Queries.m6MergeScan(s, d)),
+    "m4_expire_scan" -> ((s, d) => Queries.m4ExpireScan(s, d)),
+    // Reference-pipeline operators (SURVEY.md §2)
+    "d1_dedup_firstwins" -> ((s, d) => Queries.d1DedupFirstWins(s, d)),
+    "d2_sort_limit" -> ((s, d) => Queries.d2SortLimit(s, d)),
+    "t1_batch_trigger" -> ((s, d) => Queries.t1BatchTrigger(s, d)),
+    "p1_parse_project" -> ((s, d) => Queries.p1ParseProject(s, d)),
+    "m3_stats_agg" -> ((s, d) => Queries.m3StatsAgg(s, d)),
+    "m4_orphan_antijoin" -> ((s, d) => Queries.m4OrphanAntiJoin(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "m1_compact_scan" -> Queries.tokenizedDocsSql,
+    "m2_zorder_scan" -> Queries.tokenizedDocsSql,
+    "m2_hilbert_scan" -> Queries.tokenizedDocsSql,
+    "m6_merge_scan" -> Queries.m6MergeSql,
+    "m4_expire_scan" -> Queries.tokenizedDocsSql,
+    "d1_dedup_firstwins" -> Queries.d1Sql,
+    "d2_sort_limit" -> Queries.d2Sql,
+    "t1_batch_trigger" -> Queries.t1Sql,
+    "p1_parse_project" -> Queries.p1Sql,
+    "m3_stats_agg" -> Queries.m3Sql,
+    "m4_orphan_antijoin" -> Queries.m4Sql,
+  )
 }

@@ -1,0 +1,171 @@
+package graft.ingest
+
+import graft.table.{Snapshot, TokenTable}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One raw message = one Kafka record (reference
+  * `/root/reference/src/model/mod.rs:7-11`,
+  * `src/kafka/mod.rs:94-111`): `(topic, partition, offset)` metadata, an
+  * optional UTF-8 key, a JSON-object payload.
+  */
+case class RawMessage(topic: String, partition: Int, offset: Long,
+    key: Option[String], value: String)
+
+/** A dead-lettered record: the reference sends `(key, error string)` to
+  * a DLQ topic and — notably — does NOT preserve the original payload
+  * (`src/kafka/mod.rs:288-300`). We keep the payload too (strictly more
+  * information; the S2 quarantine table replaces the DLQ topic).
+  */
+case class DeadLetter(topic: String, partition: Int, offset: Long,
+    key: Option[String], value: String, error: String)
+
+/** Batch ingest pipeline — the reference's per-message hot path
+  * (`src/kafka/mod.rs:256-302`) re-expressed as one Catalyst plan:
+  * parse/project (P1/P3) -> quarantine split (S2) -> first-wins dedup
+  * (D1) -> offset sort (D2) -> atomic append (S3/X1), with per-partition
+  * offset watermarks making replay idempotent (exactly-once table
+  * effect, the X1 invariant).
+  */
+object Ingest {
+
+  /** Columns of the parsed payload in schema order. */
+  private val payloadSchema = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("tokens", ArrayType(IntegerType)),
+    StructField("n_tok", IntegerType),
+    StructField("source", StringType)))
+
+  /** Parse + validate. Reference semantics (P1,
+    * `src/utils/mod.rs:122-153`):
+    *  - non-object / unparseable JSON -> dead letter,
+    *  - empty object `{}` -> row silently dropped (NOT an error),
+    *  - missing schema field -> dead letter (`MissingField`),
+    *  - type mismatch -> dead letter.
+    * Null field values are allowed through parse; rows with null
+    * required fields are quarantined at projection time.
+    */
+  def parse(msgs: Dataset[RawMessage]): (DataFrame, Dataset[DeadLetter]) = {
+    val spark = msgs.sparkSession
+    import spark.implicits._
+    // json_object_keys is null for non-objects — that plus a FAILFAST-free
+    // from_json gives us the reference's error taxonomy without a UDF.
+    val keyed = msgs
+      .withColumn("__keys", json_object_keys($"value"))
+      .withColumn("__parsed", from_json($"value", payloadSchema))
+    val nonObject = $"__keys".isNull
+    val emptyObject = $"__keys".isNotNull && size($"__keys") === 0
+    val missing = payloadSchema.fields.map(f =>
+      when(!array_contains($"__keys", f.name), lit(f.name))).toSeq
+    val missingList = filter(array(missing: _*), c => c.isNotNull)
+    val typeErr = $"__parsed".isNull ||
+      ($"__parsed.tokens".isNull && get_json_object($"value", "$.tokens").isNotNull)
+
+    val classified = keyed.withColumn("__error",
+      when(nonObject, lit("ParseError: payload is not a JSON object"))
+        .when(emptyObject, lit(null.asInstanceOf[String])) // dropped, not an error
+        .when(size(missingList) > 0,
+          concat(lit("MissingField: "), array_join(missingList, ", ")))
+        .when(typeErr, lit("TypeMismatch: payload does not match schema")))
+
+    val valid = classified
+      .filter($"__error".isNull && !emptyObject)
+      .select($"topic", $"partition", $"offset", $"key",
+        $"__parsed.doc_id".as("doc_id"), $"__parsed.tokens".as("tokens"),
+        $"__parsed.n_tok".as("n_tok"), $"__parsed.source".as("source"))
+    val dead = classified
+      .filter($"__error".isNotNull)
+      .select($"topic", $"partition", $"offset", $"key", $"value", $"__error".as("error"))
+      .as[DeadLetter]
+    (valid, dead)
+  }
+
+  /** D1 first-wins dual-key dedup
+    * (`/root/reference/src/pipeline/mod.rs:58-80`): a record loses if its
+    * offset was already seen OR its non-null key was already seen; first
+    * occurrence (lowest offset) wins. Two windowed passes — null keys
+    * never collide on the key pass, matching the reference's
+    * `Option<String>` key handling.
+    */
+  def dedupFirstWins(df: DataFrame, keyCol: String = "doc_id"): DataFrame = {
+    val byOffset = Window.partitionBy(col("offset")).orderBy(col("offset"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("offset"))
+    df.withColumn("__ro", row_number().over(byOffset))
+      .filter(col("__ro") === 1)
+      .drop("__ro")
+      .withColumn("__rk",
+        when(col(keyCol).isNull, lit(1)).otherwise(row_number().over(byKey)))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+  }
+
+  /** Per-(topic,partition) committed offset watermarks from a snapshot
+    * summary — the engine's Kafka-offset-commit analog (X1): data commit
+    * carries the watermark, so replaying an already-committed offset
+    * range is a no-op.
+    */
+  def watermarks(s: Snapshot): Map[String, Long] =
+    s.summary.getOrElse("watermarks", "").split(';').filter(_.nonEmpty)
+      .map { kv => val Array(k, v) = kv.split('='); k -> v.toLong }.toMap
+
+  private def encodeWatermarks(w: Map[String, Long]): String =
+    w.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+
+  case class IngestResult(snapshot: Snapshot, appended: Long, deduped: Long,
+      deadLettered: Long, replayFiltered: Long)
+
+  /** One ingest batch = one atomic snapshot (the reference's
+    * flush-then-commit: Delta commit first, then offsets — here the
+    * watermark rides inside the same atomic snapshot, which is strictly
+    * stronger).
+    */
+  def ingestBatch(table: TokenTable, msgs: Dataset[RawMessage],
+      deadLetterDir: Option[String] = None): IngestResult = {
+    val spark = table.spark
+    import spark.implicits._
+    val parent = if (table.currentVersion >= 0) Some(table.current) else None
+    val wm = parent.map(watermarks).getOrElse(Map.empty)
+
+    // Replay filter: drop offsets at or below the committed watermark.
+    val wmExpr: Column = wm.foldLeft(lit(-1L)) { case (acc, (tp, o)) =>
+      when(concat_ws("/", $"topic", $"partition") === tp, lit(o)).otherwise(acc)
+    }
+    val fresh = msgs.filter($"offset" > wmExpr)
+    val replayFiltered = msgs.count() - fresh.count()
+
+    val (valid, dead) = parse(fresh)
+    val deadCount = deadLetterDir match {
+      case Some(dir) =>
+        dead.write.mode("append").parquet(dir); spark.read.parquet(dir).count()
+      case None => dead.count()
+    }
+    val deduped = dedupFirstWins(valid)
+    val validCount = valid.count()
+    val rows = deduped
+      .sortWithinPartitions($"offset") // D2: offset order within files
+      .select("doc_id", "tokens", "n_tok", "source")
+
+    val newWm = fresh
+      .groupBy(concat_ws("/", $"topic", $"partition").as("tp"))
+      .agg(max($"offset").as("mx"))
+      .as[(String, Long)].collect().toMap
+    val mergedWm = (wm.keySet ++ newWm.keySet).map { k =>
+      k -> math.max(wm.getOrElse(k, -1L), newWm.getOrElse(k, -1L))
+    }.toMap
+
+    val added = table.writeDataFiles(rows, sortWithinFilesBy = None)
+    val manifest = table.writeManifest(added)
+    val snap = table.commit(parent, "ingest",
+      addManifests = Seq(manifest),
+      keepManifests = parent.map(_.manifests).getOrElse(Nil),
+      removedPaths = Set.empty,
+      summary = Map(
+        "watermarks" -> encodeWatermarks(mergedWm),
+        "added-rows" -> added.map(_.rows).sum.toString,
+        "dead-letters" -> deadCount.toString))
+    val appended = added.map(_.rows).sum
+    IngestResult(snap, appended, validCount - appended, deadCount, replayFiltered)
+  }
+}

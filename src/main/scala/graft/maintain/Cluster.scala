@@ -1,0 +1,180 @@
+package graft.maintain
+
+import graft.functions.CurveKeys
+import graft.lineage.Lineage
+import graft.table.{Snapshot, TokenTable}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order / Hilbert clustering (north-star M2).
+  *
+  * Pipeline: scan -> project curve key (codegen'd native Expression) ->
+  * *explicit* sampled boundaries -> bucket id by boundary search ->
+  * salt-split skewed buckets -> one shuffle on (bucket, salt) ->
+  * in-partition sort by key -> write one file per partition -> stats ->
+  * single snapshot commit.
+  *
+  * The sampling, bucketing and salting are explicit (not
+  * `repartitionByRange`'s private sampler) per the north rule: skew in
+  * the Zipfian `source` dimension must be split deliberately so the
+  * N->4N efficiency >= 0.8 holds.
+  */
+object Cluster {
+
+  sealed trait Curve
+  case object ZOrder extends Curve
+  case object Hilbert extends Curve
+
+  val BitsPerDim = 20 // 3 dims x 20 bits = 60 <= 63
+
+  /** The clustering key over (source, n_tok, doc_id). Dimension order
+    * matters: leading interleaved bits dominate the sort, so the
+    * low-cardinality, filter-friendly dims come first.
+    *  - source: dictionary code spread across the bit range (equal
+    *    sources share the leading bits -> tight min/max source stats)
+    *  - n_tok: range-scaled by the table's max n_tok (from manifest
+    *    stats) so its top bits actually vary -> length-range pruning
+    *  - doc_id: xxhash64 low bits (uniform spread of the unique key;
+    *    doc_id *range* locality is provided by compaction/merge sorting
+    *    files by doc_id, not by the curve)
+    */
+  def curveKey(curve: Curve, sourceDict: Map[String, Int], maxNtok: Int): Column = {
+    val mask = (1L << BitsPerDim) - 1
+    val card = math.max(1, sourceDict.size)
+    val srcStep = mask / card
+    val srcCode = sourceDict.toSeq.sortBy(_._2).foldLeft(lit(0L)) {
+      case (acc, (s, code)) => when(col("source") === s, lit(code.toLong * srcStep)).otherwise(acc)
+    }
+    val ntokScale = mask / math.max(1L, maxNtok.toLong)
+    val d1 = srcCode
+    val d2 = least(greatest(col("n_tok").cast("long") * ntokScale, lit(0L)), lit(mask))
+    val d3 = xxhash64(col("doc_id")).bitwiseAND(lit(mask))
+    curve match {
+      case ZOrder  => CurveKeys.zkey(BitsPerDim, d1, d2, d3)
+      case Hilbert => CurveKeys.hilbertKey(BitsPerDim, d1, d2, d3)
+    }
+  }
+
+  /** Explicit boundary sampling: uniform row sample of the key column,
+    * sorted on the driver, equi-depth boundaries. `sampleSize` rows max
+    * reach the driver regardless of table size.
+    */
+  def sampleBoundaries(keyed: DataFrame, buckets: Int, totalRows: Long,
+      sampleSize: Int = 200000): Array[Long] = {
+    import keyed.sparkSession.implicits._
+    val fraction = math.min(1.0, sampleSize.toDouble / math.max(1L, totalRows))
+    val sample = keyed.select(col("ckey"))
+      .sample(withReplacement = false, fraction, seed = 42L)
+      .as[Long].collect().sorted
+    if (sample.isEmpty) return Array.empty
+    (1 until buckets)
+      .map(i => sample((i.toLong * sample.length / buckets).toInt.min(sample.length - 1)))
+      .distinct.toArray
+  }
+
+  /** bucket = #(boundaries <= key); a linear scan over the broadcast
+    * boundary array expressed as a codegen-friendly `aggregate` over an
+    * array literal — stays inside whole-stage codegen (no UDF) and
+    * boundary counts are small (<= a few thousand).
+    */
+  def bucketCol(boundaries: Array[Long]): Column =
+    if (boundaries.isEmpty) lit(0)
+    else aggregate(
+      lit(boundaries),
+      lit(0),
+      (acc, b) => acc + when(col("ckey") >= b, 1).otherwise(0))
+
+  /** Salt factor per bucket from the sampled histogram: buckets whose
+    * sample share exceeds 2x the mean get split into ceil(share/mean)
+    * sub-partitions (salt-based skew splitting, north_rule).
+    */
+  def saltFactors(sampleKeys: Array[Long], boundaries: Array[Long],
+      buckets: Int): Map[Int, Int] = {
+    if (sampleKeys.isEmpty) return Map.empty
+    val counts = new Array[Long](boundaries.length + 1)
+    sampleKeys.foreach { k =>
+      var b = java.util.Arrays.binarySearch(boundaries, k)
+      if (b < 0) b = -b - 1 else b = b + 1 // count of boundaries <= k
+      counts(b) += 1
+    }
+    val mean = math.max(1.0, sampleKeys.length.toDouble / counts.length)
+    counts.zipWithIndex.collect {
+      case (c, i) if c > 2 * mean => i -> math.ceil(c / mean).toInt
+    }.toMap
+  }
+
+  case class Result(snapshot: Snapshot, buckets: Int, saltedBuckets: Int)
+
+  def run(table: TokenTable, curve: Curve, jobId: String,
+      targetBytes: Long = 128L * 1024 * 1024): Result = {
+    val spark = table.spark
+    import spark.implicits._
+    val parent = table.current
+    val all = table.filesLocal(parent)
+    if (all.isEmpty) return Result(parent, 0, 0)
+
+    val totalBytes = all.map(_.bytes).sum
+    val totalRows = all.map(_.rows).sum
+    val buckets = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+
+    val dict = table.scan().select($"source").distinct().as[String]
+      .collect().sorted.zipWithIndex.toMap
+    val maxNtok = all.map(_.maxNtok).max
+    val keyed = table.scan().withColumn("ckey", curveKey(curve, dict, maxNtok))
+
+    // Sample once; reuse for boundaries and skew detection.
+    val fraction = math.min(1.0, 200000.0 / math.max(1L, totalRows))
+    val sampleKeys = keyed.select($"ckey")
+      .sample(withReplacement = false, fraction, seed = 42L)
+      .as[Long].collect().sorted
+    val boundaries: Array[Long] =
+      if (sampleKeys.isEmpty) Array.empty
+      else (1 until buckets)
+        .map(i => sampleKeys((i.toLong * sampleKeys.length / buckets).toInt.min(sampleKeys.length - 1)))
+        .distinct.toArray
+    val salts = saltFactors(sampleKeys, boundaries, buckets)
+    val nBuckets = boundaries.length + 1
+    val saltExpr = if (salts.isEmpty) lit(0) else {
+      val factor = salts.foldLeft(lit(1)) { case (acc, (b, f)) =>
+        when(col("bucket") === b, lit(f)).otherwise(acc)
+      }
+      pmod(xxhash64($"doc_id"), factor.cast("long")).cast("int")
+    }
+    // Exact placement: pid = base(bucket) + salt, where base is the
+    // prefix sum of per-bucket salt factors. `repartition(n, cols)`
+    // HASH-partitions and would collide distinct buckets into one
+    // partition (mixed key ranges in one file); range-partitioning the
+    // dense pid keeps every partition a contiguous key range. The skew
+    // work is already done by our explicit boundaries + salt — the pid
+    // distribution is uniform by construction.
+    val bases = new Array[Int](nBuckets)
+    var acc = 0
+    (0 until nBuckets).foreach { b =>
+      bases(b) = acc; acc += salts.getOrElse(b, 1)
+    }
+    val numPartitions = acc
+    val clustered = keyed
+      .withColumn("bucket", bucketCol(boundaries))
+      .withColumn("salt", saltExpr)
+      .withColumn("pid", element_at(lit(bases), col("bucket") + 1) + col("salt"))
+      .repartitionByRange(math.max(1, numPartitions), $"pid")
+      .sortWithinPartitions($"ckey")
+      .select("doc_id", "tokens", "n_tok", "source")
+
+    val out = table.writeDataFilesTo(clustered, s"data/$jobId",
+      overwrite = true, sortBy = None)
+    Lineage.completeTask(table, Lineage.TaskRecord(
+      jobId, "cluster", all.map(_.path), out,
+      rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
+      status = "done", durationMs = 0L))
+    val manifest = table.writeManifest(out)
+    val snap = table.commit(Some(parent), if (curve == ZOrder) "zorder" else "hilbert",
+      addManifests = Seq(manifest), keepManifests = Nil,
+      removedPaths = all.map(_.path).toSet,
+      summary = Map(
+        "buckets" -> (boundaries.length + 1).toString,
+        "salted-buckets" -> salts.size.toString,
+        "files-out" -> out.size.toString))
+    Result(snap, boundaries.length + 1, salts.size)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.maintain
+
+import graft.lineage.Lineage
+import graft.table.{DataFile, Snapshot, TokenTable}
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** Size-tiered bin-packing compaction (north-star M1).
+  *
+  * Plan: greedy first-fit-decreasing over the manifest file list —
+  * driver-side, pure, deterministic. Execute: one Spark job per bin
+  * (`coalesce(1)` — a bin fits the target file size by construction, so
+  * no shuffle at all), bins run concurrently on the scheduler; this is
+  * embarrassingly parallel across bins and is the N->4N
+  * scaling-efficiency workhorse. Commit: exactly one snapshot
+  * (reference invariant S3/X1 — one atomic commit per flush,
+  * `/root/reference/src/delta/mod.rs:35-63`).
+  */
+object Compact {
+
+  case class Result(snapshot: Snapshot, binsRewritten: Int, filesIn: Int,
+      filesOut: Int, bytesIn: Long, resumedTasks: Int)
+
+  /** Greedy first-fit-decreasing. Only files smaller than
+    * `smallFileFactor * targetBytes` are candidates; bins hold at most
+    * `targetBytes` and only bins with >= 2 files are worth rewriting.
+    * Deterministic: candidates sorted by (bytes desc, path).
+    */
+  def planBins(files: Seq[DataFile], targetBytes: Long,
+      smallFileFactor: Double = 0.75): Seq[Seq[DataFile]] = {
+    val threshold = (targetBytes * smallFileFactor).toLong
+    val candidates = files
+      .filter(_.bytes < threshold)
+      .sortBy(f => (-f.bytes, f.path))
+    val bins = scala.collection.mutable.ArrayBuffer.empty[
+      (scala.collection.mutable.ArrayBuffer[DataFile], Long)]
+    candidates.foreach { f =>
+      bins.indexWhere { case (_, used) => used + f.bytes <= targetBytes } match {
+        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), f.bytes))
+        case i  => val (b, used) = bins(i); b += f; bins(i) = (b, used + f.bytes)
+      }
+    }
+    bins.map(_._1.toSeq).filter(_.size >= 2).toSeq
+  }
+
+  /** Run compaction as a resumable lineage-checkpointed job. Re-running
+    * with the same `jobId` after a crash skips completed bins (their
+    * outputs are reused from the lineage markers) and still produces a
+    * single snapshot.
+    */
+  def run(table: TokenTable, targetBytes: Long, jobId: String,
+      parallelism: Int = 8): Result = {
+    val spark = table.spark
+    val parent = table.current
+    val all = table.filesLocal(parent)
+    val planned = planBins(all, targetBytes)
+    val plan = Lineage.planOrResume(table, Lineage.JobPlan(
+      jobId, "compact", parent.version,
+      planned.zipWithIndex.map { case (b, i) => i.toString -> b.map(_.path) }.toMap))
+    // Resume against the *persisted* plan (stable task identity).
+    val byPath = all.map(f => f.path -> f).toMap
+    val tasks = plan.tasks.toSeq.sortBy(_._1.toInt)
+
+    if (tasks.isEmpty)
+      return Result(parent, 0, all.size, all.size, 0L, 0)
+
+    var resumed = 0
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = tasks.map { case (taskId, inputPaths) =>
+      Future {
+        Lineage.loadTask(table, jobId, taskId) match {
+          case Some(done) =>
+            synchronized { resumed += 1 }
+            done.outputFiles
+          case None =>
+            val t0 = System.nanoTime()
+            val in = inputPaths.map(p => s"${table.location}/$p")
+            val df = spark.read.schema(table.schema).parquet(in: _*)
+            // A bin fits targetBytes by construction: single output file,
+            // zero shuffle. Keep rows clustered by doc_id within the file
+            // so min/max doc_id stats stay selective after compaction.
+            val out = table.writeDataFilesTo(
+              df.coalesce(1), s"data/$jobId/bin-$taskId",
+              overwrite = true, sortBy = Some("doc_id"))
+            Lineage.completeTask(table, Lineage.TaskRecord(
+              jobId, taskId, inputPaths, out,
+              rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
+              status = "done",
+              durationMs = (System.nanoTime() - t0) / 1000000))
+            out
+        }
+      }
+    }
+    val outputs =
+      try Await.result(Future.sequence(futures), Duration.Inf)
+      finally pool.shutdown()
+
+    val rewrittenPaths = tasks.flatMap(_._2).toSet
+    val survivors = all.filterNot(f => rewrittenPaths.contains(f.path))
+    val newFiles = outputs.flatten
+    val manifest = table.writeManifest(survivors ++ newFiles)
+    val snap = table.commit(
+      Some(parent), "compact",
+      addManifests = Seq(manifest), keepManifests = Nil,
+      removedPaths = rewrittenPaths,
+      summary = Map(
+        "bins" -> tasks.size.toString,
+        "files-in" -> rewrittenPaths.size.toString,
+        "files-out" -> newFiles.size.toString,
+        "resumed-tasks" -> resumed.toString,
+        "bytes-in" -> rewrittenPaths.iterator.map(p => byPath.get(p).map(_.bytes).getOrElse(0L)).sum.toString))
+    Result(snap, tasks.size, all.size, survivors.size + newFiles.size,
+      rewrittenPaths.iterator.map(p => byPath.get(p).map(_.bytes).getOrElse(0L)).sum, resumed)
+  }
+}

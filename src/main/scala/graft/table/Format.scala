@@ -1,0 +1,137 @@
+package graft.table
+
+import com.fasterxml.jackson.annotation.JsonInclude
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** On-disk table format ("TokenTable") — an Iceberg-style metadata layer
+  * built from scratch over Parquet + JSON because the sandbox ships no
+  * Iceberg/Delta runtime (SURVEY.md §7 P0).
+  *
+  * Layout:
+  * {{{
+  * table/
+  *   data/<commit-uuid>/part-*.parquet      immutable data files
+  *   metadata/v<N>.json                     snapshots (atomic CAS commit)
+  *   metadata/manifest-<uuid>.parquet       immutable manifest files
+  *   lineage/<job-id>/...                   per-job checkpoint markers
+  * }}}
+  *
+  * Mirrors the reference's single-atomic-commit-per-flush discipline
+  * (`/root/reference/src/delta/mod.rs:35-63` — one `flush_and_commit`
+  * per batch): every maintenance job produces exactly one new snapshot.
+  */
+
+/** Per-data-file manifest row with min/max column stats (north-star M3).
+  * Paths are relative to the table root so tables are relocatable.
+  */
+case class DataFile(
+    path: String,
+    bytes: Long,
+    rows: Long,
+    minDocId: String,
+    maxDocId: String,
+    minNtok: Int,
+    maxNtok: Int,
+    sumNtok: Long,
+    minSource: String,
+    maxSource: String)
+
+/** A snapshot: the complete table state at a version. File inventory
+  * lives in immutable manifest Parquet files (readable as a DataFrame —
+  * at 10^12-sequence scale the manifest itself is big data); the JSON
+  * stays O(#manifests).
+  */
+case class Snapshot(
+    version: Long,
+    parentVersion: Long, // -1 = none
+    schemaJson: String,
+    operation: String,
+    manifests: Seq[String], // relative paths of manifest parquet files
+    summary: Map[String, String],
+    timestampMs: Long)
+
+object Format {
+  val Metadata = "metadata"
+  val DataDir = "data"
+  val LineageDir = "lineage"
+
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m.setSerializationInclusion(JsonInclude.Include.ALWAYS)
+    m
+  }
+
+  def toJson(s: Snapshot): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(s)
+  def fromJson(json: String): Snapshot =
+    mapper.readValue(json, classOf[Snapshot])
+
+  def versionFile(tableDir: String, v: Long): Path =
+    Paths.get(tableDir, Metadata, s"v$v.json")
+
+  import scala.jdk.CollectionConverters._
+  private val VersionRe = "v(\\d+)\\.json".r
+
+  /** Latest committed version, or -1 for an empty metadata dir. */
+  def currentVersion(tableDir: String): Long = {
+    val md = Paths.get(tableDir, Metadata)
+    if (!Files.isDirectory(md)) return -1L
+    val st = Files.list(md)
+    try {
+      st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case VersionRe(n) => n.toLong }
+        .foldLeft(-1L)(math.max)
+    } finally st.close()
+  }
+
+  def readSnapshot(tableDir: String, v: Long): Snapshot =
+    fromJson(Files.readString(versionFile(tableDir, v)))
+
+  /** Atomic, exclusive publish of v<N+1>.json.
+    *
+    * `Files.move(..., ATOMIC_MOVE)` maps to rename(2), which *replaces*
+    * an existing target — that is atomic but not exclusive. CAS
+    * semantics need link(2): `Files.createLink` fails with
+    * `FileAlreadyExistsException` if another writer won the race.
+    * Returns false on lost race (caller re-reads latest and rebases or
+    * aborts — north-rule commit-conflict requirement; analog of the
+    * reference's commit-retry loop `src/kafka/mod.rs:191-228`).
+    */
+  def tryPublish(tableDir: String, snapshot: Snapshot): Boolean = {
+    val md = Paths.get(tableDir, Metadata)
+    Files.createDirectories(md)
+    val tmp = md.resolve(s".tmp-v${snapshot.version}-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, toJson(snapshot))
+    val target = versionFile(tableDir, snapshot.version)
+    try {
+      Files.createLink(target, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** Atomic write of a small marker/JSON file (last-writer-wins is fine;
+    * used for lineage task markers where content is deterministic).
+    */
+  def atomicWrite(target: Path, content: String): Unit = {
+    Files.createDirectories(target.getParent)
+    val tmp = target.getParent.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** Commit conflict that cannot be auto-rebased (overlapping file sets);
+  * caller must re-plan against the new table state. Mirrors the
+  * reference's hard error after exhausted commit retries
+  * (`src/kafka/mod.rs:224-228`).
+  */
+class CommitConflictException(msg: String) extends RuntimeException(msg)

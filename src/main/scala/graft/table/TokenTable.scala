@@ -1,0 +1,257 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import scala.jdk.CollectionConverters._
+
+/** A TokenTable: Iceberg-style snapshot/manifest table of pre-tokenized
+  * training sequences (BASELINE.json input_hint):
+  * `(doc_id string, tokens array<int>, n_tok int, source string)`.
+  *
+  * All heavy operations are Dataset/Catalyst jobs; the driver only does
+  * O(#files) planning and the O(1) atomic snapshot publish — the same
+  * split the reference enforces between its buffer and its single
+  * `flush_and_commit` (`/root/reference/src/pipeline/mod.rs:195-247`).
+  */
+class TokenTable(val location: String, val spark: SparkSession) {
+  import spark.implicits._
+
+  def currentVersion: Long = Format.currentVersion(location)
+  def current: Snapshot = Format.readSnapshot(location, currentVersion)
+  def snapshotAt(v: Long): Snapshot = Format.readSnapshot(location, v)
+
+  def schema: StructType =
+    DataType.fromJson(current.schemaJson).asInstanceOf[StructType]
+
+  /** Manifest scan as a Dataset — at 10^12-sequence scale the manifest
+    * is itself big data, so set operations on file inventories (GC,
+    * pruning) stay distributed.
+    */
+  def files(s: Snapshot): Dataset[DataFile] =
+    if (s.manifests.isEmpty) spark.emptyDataset[DataFile]
+    else
+      spark.read
+        .schema(implicitly[org.apache.spark.sql.Encoder[DataFile]].schema)
+        .parquet(s.manifests.map(m => s"$location/$m"): _*)
+        .as[DataFile]
+
+  /** Driver-side file list for planning (bin packing, pruning). At true
+    * 10^12 scale planning would shard per manifest; single collect is
+    * correct for the sandbox and bounded by #files, not #rows.
+    */
+  def filesLocal(s: Snapshot): Seq[DataFile] = files(s).collect().toSeq
+
+  /** Full-table scan of the current snapshot (north-star M5 — the
+    * headline tokens/sec metric reads this).
+    */
+  def scan(): DataFrame = scan(current)
+
+  def scan(s: Snapshot): DataFrame = {
+    val paths = filesLocal(s).map(f => s"$location/${f.path}")
+    if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+    else spark.read
+      .schema(DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+      .parquet(paths: _*)
+  }
+
+  /** Pruned scan: only data files whose [min,max] stats can contain
+    * rows matching the given doc_id bounds — manifest min/max pruning
+    * (the mechanism MERGE uses to touch only affected files).
+    */
+  def scanPrunedByDocId(lo: String, hi: String): DataFrame = {
+    val hits = files(current)
+      .filter($"maxDocId" >= lo && $"minDocId" <= hi)
+      .select($"path").as[String].collect()
+    if (hits.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(hits.map(p => s"$location/$p"): _*)
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** Write `df` (token schema) as new immutable data files under
+    * data/<uuid>/ and return their manifest rows with min/max stats.
+    * Stats come from a column-pruned re-scan (doc_id, n_tok, source
+    * only — tokens are never re-read).
+    */
+  def writeDataFiles(df: DataFrame, sortWithinFilesBy: Option[String] = None)
+      : Seq[DataFile] =
+    writeDataFilesTo(df, s"${Format.DataDir}/${java.util.UUID.randomUUID()}",
+      overwrite = false, sortBy = sortWithinFilesBy)
+
+  /** Write to an explicit table-relative dir. Overwrite mode makes
+    * resumed lineage tasks idempotent (a partially-written task dir from
+    * a crash is simply replaced on re-run).
+    */
+  def writeDataFilesTo(df: DataFrame, relDir: String, overwrite: Boolean,
+      sortBy: Option[String]): Seq[DataFile] = {
+    val abs = s"$location/$relDir"
+    val out = sortBy match {
+      case Some(c) => df.sortWithinPartitions(c)
+      case None    => df
+    }
+    out.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .option("compression", "zstd") // reference writes ZSTD parquet (src/pipeline/mod.rs:120-122)
+      .parquet(abs)
+    statsFor(relDir)
+  }
+
+  /** Manifest rows (with stats) for every parquet file under a
+    * table-relative data directory. One aggregation job, grouped by
+    * physical file, pruned to the three stat columns.
+    */
+  def statsFor(relDir: String): Seq[DataFile] = {
+    val abs = s"$location/$relDir"
+    val sizes: Map[String, Long] = Files
+      .walk(Paths.get(abs))
+      .iterator()
+      .asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => (p.toAbsolutePath.toString, Files.size(p)))
+      .toMap
+    val agg = spark.read
+      .parquet(abs)
+      .select($"doc_id", $"n_tok", $"source")
+      .groupBy(input_file_name().as("uri"))
+      .agg(
+        count(lit(1)).as("rows"),
+        min($"doc_id").as("minDocId"),
+        max($"doc_id").as("maxDocId"),
+        min($"n_tok").as("minNtok"),
+        max($"n_tok").as("maxNtok"),
+        sum($"n_tok").as("sumNtok"),
+        min($"source").as("minSource"),
+        max($"source").as("maxSource"))
+      .collect()
+    val root = Paths.get(location).toAbsolutePath.toString
+    agg.map { r =>
+      val fsPath = new java.net.URI(r.getAs[String]("uri")).getPath
+      val relPath = fsPath.stripPrefix(root).stripPrefix("/")
+      DataFile(
+        path = relPath,
+        bytes = sizes.getOrElse(fsPath, 0L),
+        rows = r.getAs[Long]("rows"),
+        minDocId = r.getAs[String]("minDocId"),
+        maxDocId = r.getAs[String]("maxDocId"),
+        minNtok = r.getAs[Int]("minNtok"),
+        maxNtok = r.getAs[Int]("maxNtok"),
+        sumNtok = r.getAs[Long]("sumNtok"),
+        minSource = r.getAs[String]("minSource"),
+        maxSource = r.getAs[String]("maxSource"))
+    }.toSeq
+  }
+
+  /** Persist manifest rows as an immutable manifest parquet; returns its
+    * table-relative path.
+    */
+  def writeManifest(rows: Seq[DataFile]): String = {
+    val rel = s"${Format.Metadata}/manifest-${java.util.UUID.randomUUID()}"
+    rows.toDS().coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(s"$location/$rel")
+    rel
+  }
+
+  /** Distributed variant for rewrite ops whose survivor set is itself
+    * big (carries a whole manifest scan through a filter).
+    */
+  def writeManifestDS(rows: Dataset[DataFile]): String = {
+    val rel = s"${Format.Metadata}/manifest-${java.util.UUID.randomUUID()}"
+    rows.write.mode(SaveMode.ErrorIfExists).parquet(s"$location/$rel")
+    rel
+  }
+
+  // --------------------------------------------------------------- commit
+
+  /** Commit a new snapshot via CAS with append-rebase.
+    *
+    * - Pure appends (`removedPaths` empty, keeping the full parent
+    *   manifest list) are auto-rebased onto any concurrent commit.
+    * - Rewrites (compaction/clustering/merge) abort on conflict with a
+    *   [[CommitConflictException]] so the caller re-plans — matching
+    *   Iceberg's serializable snapshot isolation and the reference's
+    *   exhausted-retry hard error (`src/kafka/mod.rs:224-228`).
+    */
+  def commit(
+      parent: Option[Snapshot],
+      operation: String,
+      addManifests: Seq[String],
+      keepManifests: Seq[String],
+      removedPaths: Set[String],
+      summary: Map[String, String] = Map.empty,
+      maxAttempts: Int = 5): Snapshot = {
+    val v = parent.map(_.version + 1).getOrElse(0L)
+    val snap = Snapshot(
+      version = v,
+      parentVersion = parent.map(_.version).getOrElse(-1L),
+      schemaJson = parent.map(_.schemaJson).getOrElse(TokenTable.tokenSchema.json),
+      operation = operation,
+      manifests = keepManifests ++ addManifests,
+      summary = summary,
+      timestampMs = System.currentTimeMillis())
+    if (Format.tryPublish(location, snap)) return snap
+    // Lost the race: re-read and decide rebase vs abort.
+    val latest = Format.readSnapshot(location, Format.currentVersion(location))
+    val isPureAppend =
+      removedPaths.isEmpty && parent.forall(_.manifests == keepManifests)
+    if (!isPureAppend)
+      throw new CommitConflictException(
+        s"$operation@v$v lost CAS to v${latest.version} (${latest.operation}); " +
+          "rewrite commits cannot auto-rebase — re-plan against the new snapshot")
+    if (maxAttempts <= 1)
+      throw new CommitConflictException(s"$operation: exhausted commit attempts")
+    commit(Some(latest), operation, addManifests, latest.manifests,
+      removedPaths, summary, maxAttempts - 1)
+  }
+
+  /** Append rows (token schema) as one atomic snapshot. */
+  def append(df: DataFrame, operation: String = "append"): Snapshot = {
+    val added = writeDataFiles(df)
+    val manifest = writeManifest(added)
+    val parent = if (currentVersion >= 0) Some(current) else None
+    commit(
+      parent,
+      operation,
+      addManifests = Seq(manifest),
+      keepManifests = parent.map(_.manifests).getOrElse(Nil),
+      removedPaths = Set.empty,
+      summary = Map(
+        "added-files" -> added.size.toString,
+        "added-rows" -> added.map(_.rows).sum.toString,
+        "added-tokens" -> added.map(_.sumNtok).sum.toString))
+  }
+}
+
+object TokenTable {
+  import org.apache.spark.sql.types._
+
+  /** The north-star schema (BASELINE.json input_hint). */
+  val tokenSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("source", StringType, nullable = false)))
+
+  /** Create an empty table (v0). The reference never creates its Delta
+    * table (`src/pipeline/mod.rs:110-118` opens an existing one); we do,
+    * because the engine owns its format end-to-end.
+    */
+  def create(spark: SparkSession, location: String): TokenTable = {
+    val snap = Snapshot(
+      version = 0L, parentVersion = -1L, schemaJson = tokenSchema.json,
+      operation = "create", manifests = Nil, summary = Map.empty,
+      timestampMs = System.currentTimeMillis())
+    if (!Format.tryPublish(location, snap))
+      throw new CommitConflictException(s"create: table already exists at $location")
+    new TokenTable(location, spark)
+  }
+
+  def open(spark: SparkSession, location: String): TokenTable = {
+    require(Format.currentVersion(location) >= 0, s"no table at $location")
+    new TokenTable(location, spark)
+  }
+
+  def exists(location: String): Boolean = Format.currentVersion(location) >= 0
+}

@@ -1,0 +1,159 @@
+package graft.maintain
+
+import graft.SparkSpec
+import graft.ingest.TokenGen
+import graft.lineage.Lineage
+import graft.table.TokenTable
+import org.apache.spark.sql.functions._
+
+/** Integration tests the reference left as TODOs
+  * (`/root/reference/src/tests/integration.rs:1`), realized: every
+  * maintenance op preserves the byte-equal token-array invariant; crash
+  * -> resume; merge upsert; expiry GC.
+  */
+class MaintainSpec extends SparkSpec {
+
+  private def smallFileTable(commits: Int = 12, rowsPerCommit: Int = 250): TokenTable = {
+    val dir = tmpDir("tbl")
+    val t = TokenTable.create(spark, dir)
+    (0 until commits).foreach { i =>
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, rowsPerCommit, idOffset = i.toLong * rowsPerCommit, numPartitions = 2)))
+    }
+    t
+  }
+
+  test("compaction: fewer files, identical table state (invariant)") {
+    val t = smallFileTable()
+    val before = checksum(t.scan())
+    val filesBefore = t.filesLocal(t.current).size
+    val res = Compact.run(t, targetBytes = 4L * 1024 * 1024, jobId = "job-compact-1")
+    assert(res.binsRewritten > 0)
+    val filesAfter = t.filesLocal(t.current).size
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    assert(checksum(t.scan()) == before, "compaction must not change table state")
+    assert(t.current.operation == "compact")
+  }
+
+  test("compaction plan: bins respect capacity and cover candidates exactly once") {
+    val t = smallFileTable()
+    val files = t.filesLocal(t.current)
+    val target = 4L * 1024 * 1024
+    val bins = Compact.planBins(files, target)
+    bins.foreach { b =>
+      assert(b.map(_.bytes).sum <= target)
+      assert(b.size >= 2)
+    }
+    val planned = bins.flatten.map(_.path)
+    assert(planned.distinct.size == planned.size, "a file must appear in at most one bin")
+  }
+
+  test("compaction resumes from lineage: completed bins are not re-run") {
+    val t = smallFileTable()
+    val before = checksum(t.scan())
+    val jobId = "job-compact-resume"
+    // Simulate a crash: run the planning + exactly one task by hand.
+    val parent = t.current
+    val binBytes = 128L * 1024
+    val bins = Compact.planBins(t.filesLocal(parent), binBytes)
+    assert(bins.size >= 2, "need >=2 bins for a meaningful resume test")
+    val plan = Lineage.planOrResume(t, Lineage.JobPlan(jobId, "compact",
+      parent.version, bins.zipWithIndex.map { case (b, i) => i.toString -> b.map(_.path) }.toMap))
+    val firstTask = plan.tasks.keys.min
+    val in = plan.tasks(firstTask).map(p => s"${t.location}/$p")
+    val out = t.writeDataFilesTo(spark.read.schema(t.schema).parquet(in: _*).coalesce(1),
+      s"data/$jobId/bin-$firstTask", overwrite = true, sortBy = Some("doc_id"))
+    Lineage.completeTask(t, Lineage.TaskRecord(jobId, firstTask, plan.tasks(firstTask),
+      out, out.map(_.rows).sum, out.map(_.sumNtok).sum, "done", 1L))
+    // "Restart": the job re-runs; the completed task must be reused.
+    val res = Compact.run(t, binBytes, jobId)
+    assert(res.resumedTasks == 1, s"expected 1 resumed task, got ${res.resumedTasks}")
+    assert(checksum(t.scan()) == before)
+    // Metrics surface per-task lineage.
+    val m = Lineage.metrics(spark, t, jobId)
+    assert(m.count() == bins.size.toLong)
+  }
+
+  test("zorder clustering preserves state and tightens source locality") {
+    val t = smallFileTable()
+    val before = checksum(t.scan())
+    val res = Cluster.run(t, Cluster.ZOrder, "job-z1", targetBytes = 96L * 1024)
+    assert(checksum(t.scan()) == before, "clustering must not change table state")
+    assert(t.current.operation == "zorder")
+    // Locality: Z-order gives each dim ~1 bit per log2(#files)/#dims, so
+    // with O(10) files expect ~2-source ranges, not single-source files.
+    // Assert the *average source-range width* (in dict codes) shrinks vs
+    // the pre-clustering state where every file spans all 5 sources.
+    val dict = graft.ingest.TokenGen.Sources.sorted.zipWithIndex.toMap
+    val files = t.filesLocal(t.current)
+    val widths = files.map(f => dict(f.maxSource) - dict(f.minSource) + 1)
+    val avgWidth = widths.sum.toDouble / widths.size
+    assert(avgWidth < 4.0,
+      s"expected avg source-range width < 4 (pre-cluster = 5), got $avgWidth: " +
+        files.map(f => s"[${f.minSource},${f.maxSource}]").mkString(", "))
+    // Pruning a filter on one source must now skip some files.
+    val web = files.count(f => f.minSource <= "web" && f.maxSource >= "web")
+    assert(web < files.size, "a source='web' scan should prune at least one file")
+  }
+
+  test("hilbert clustering preserves state") {
+    val t = smallFileTable(commits = 6)
+    val before = checksum(t.scan())
+    Cluster.run(t, Cluster.Hilbert, "job-h1", targetBytes = 2L * 1024 * 1024)
+    assert(checksum(t.scan()) == before)
+    assert(t.current.operation == "hilbert")
+  }
+
+  test("merge: upsert on doc_id — matched rows replaced, new rows inserted, untouched files carried") {
+    val t = smallFileTable(commits = 4, rowsPerCommit = 250)
+    import spark.implicits._
+    // Source: updates for 50 existing ids (new tokens) + 100 brand-new ids.
+    val updates = TokenGen.generate(spark, 50, idOffset = 0, minLen = 8, maxLen = 8, numPartitions = 1)
+      .withColumn("tokens", array(lit(1), lit(2), lit(3)))
+      .withColumn("n_tok", lit(3))
+    val inserts = TokenGen.generate(spark, 100, idOffset = 5000000L, numPartitions = 1)
+    val source = updates.unionByName(inserts)
+    val res = Merge.mergeInto(t, source, "offset", "job-m1")
+    assert(res.sourceRows == 150)
+    assert(res.untouchedFiles > 0, "files outside the source key range must carry over")
+    val scan = t.scan()
+    assert(scan.count() == 1000 + 100)
+    val updated = scan.filter($"doc_id" === "doc_000000000007").head()
+    assert(updated.getAs[Int]("n_tok") == 3)
+    assert(updated.getAs[scala.collection.Seq[Int]]("tokens") == Seq(1, 2, 3))
+  }
+
+  test("merge: source batch first-wins dedup on doc_id (reference D1)") {
+    import spark.implicits._
+    val src = Seq(
+      ("doc_a", Seq(1), 1, "web", 10L),
+      ("doc_a", Seq(2, 2), 2, "web", 20L), // later arrival: dropped
+      ("doc_b", Seq(3), 1, "web", 30L)
+    ).toDF("doc_id", "tokens", "n_tok", "source", "offset")
+    val out = Merge.dedupFirstWins(src, "offset")
+      .select("doc_id", "n_tok").as[(String, Int)].collect().toMap
+    assert(out == Map("doc_a" -> 1, "doc_b" -> 1))
+  }
+
+  test("expiry + orphan GC: old snapshots and unreachable files deleted, state intact") {
+    val t = smallFileTable(commits = 5, rowsPerCommit = 100)
+    Compact.run(t, 4L * 1024 * 1024, "job-c-exp") // makes originals unreachable
+    val before = checksum(t.scan())
+    val dataDir = java.nio.file.Paths.get(t.location, "data")
+    def parquetCount = {
+      val st = java.nio.file.Files.walk(dataDir)
+      try st.filter(p => p.toString.endsWith(".parquet")).count()
+      finally st.close()
+    }
+    val filesOnDiskBefore = parquetCount
+    val res = Expire.run(t, retainLast = 1)
+    assert(res.expiredSnapshots.nonEmpty)
+    assert(res.deletedFiles > 0)
+    assert(parquetCount < filesOnDiskBefore)
+    assert(checksum(t.scan()) == before, "GC must never touch reachable files")
+    // Expired snapshot JSONs are gone.
+    res.expiredSnapshots.foreach { v =>
+      assert(!java.nio.file.Files.exists(graft.table.Format.versionFile(t.location, v)))
+    }
+  }
+}

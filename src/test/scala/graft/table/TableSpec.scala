@@ -1,0 +1,107 @@
+package graft.table
+
+import graft.SparkSpec
+import graft.ingest.TokenGen
+
+/** Table-format unit tests (SURVEY.md §5.2 item 2): snapshot serde,
+  * append/scan round-trip with stats, CAS commit-conflict, append
+  * rebase.
+  */
+class TableSpec extends SparkSpec {
+
+  test("snapshot JSON round-trips") {
+    val s = Snapshot(3, 2, TokenTable.tokenSchema.json, "compact",
+      Seq("metadata/manifest-a"), Map("k" -> "v"), 123456789L)
+    assert(Format.fromJson(Format.toJson(s)) == s)
+  }
+
+  test("create + append + scan round-trip with per-file min/max stats") {
+    val dir = tmpDir("tbl")
+    val t = TokenTable.create(spark, dir)
+    val df = TokenGen.asTokenRows(TokenGen.generate(spark, 1000, numPartitions = 4))
+    val before = checksum(df)
+    t.append(df)
+    assert(checksum(t.scan()) == before)
+
+    val files = t.filesLocal(t.current)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(f.rows > 0 && f.bytes > 0)
+      assert(f.minDocId <= f.maxDocId)
+      assert(f.minNtok <= f.maxNtok)
+      assert(f.sumNtok >= f.rows * f.minNtok)
+    }
+    assert(files.map(_.rows).sum == 1000L)
+  }
+
+  test("manifest stats enable doc_id pruning") {
+    val dir = tmpDir("tbl")
+    val t = TokenTable.create(spark, dir)
+    // Two disjoint id ranges in separate commits -> separate files.
+    t.append(TokenGen.asTokenRows(TokenGen.generate(spark, 200, numPartitions = 1)))
+    t.append(TokenGen.asTokenRows(
+      TokenGen.generate(spark, 200, idOffset = 1000000, numPartitions = 1)))
+    val pruned = t.scanPrunedByDocId("doc_000001000000", "doc_000001000199")
+    assert(pruned.count() == 200)
+    import org.apache.spark.sql.functions.col
+    assert(pruned.filter(col("doc_id") < "doc_000001000000").count() == 0)
+  }
+
+  test("CAS commit: two racing writers -> exactly one wins at each version") {
+    val dir = tmpDir("tbl")
+    TokenTable.create(spark, dir)
+    val parent = Format.readSnapshot(dir, 0)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val results = Await.result(Future.sequence((1 to 8).map { i =>
+      Future {
+        barrier.await()
+        Format.tryPublish(dir, parent.copy(version = 1, operation = s"racer-$i"))
+      }
+    }), Duration.Inf)
+    pool.shutdown()
+    assert(results.count(identity) == 1, "exactly one racer must win the CAS")
+  }
+
+  test("concurrent appends auto-rebase: both land, no rows lost") {
+    val dir = tmpDir("tbl")
+    val t = TokenTable.create(spark, dir)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fs = Seq(0L, 500000L).map { off =>
+      Future {
+        val t2 = TokenTable.open(spark, dir)
+        t2.append(TokenGen.asTokenRows(
+          TokenGen.generate(spark, 300, idOffset = off, numPartitions = 2)))
+      }
+    }
+    Await.result(Future.sequence(fs), Duration.Inf)
+    pool.shutdown()
+    assert(t.scan().count() == 600)
+    assert(t.currentVersion == 2)
+  }
+
+  test("rewrite commits abort on conflict (serializable isolation)") {
+    val dir = tmpDir("tbl")
+    val t = TokenTable.create(spark, dir)
+    t.append(TokenGen.asTokenRows(TokenGen.generate(spark, 100, numPartitions = 1)))
+    val parent = t.current
+    val paths = t.filesLocal(parent).map(_.path).toSet
+    // A concurrent append lands first.
+    t.append(TokenGen.asTokenRows(
+      TokenGen.generate(spark, 100, idOffset = 900000, numPartitions = 1)))
+    // Now a stale rewrite (simulating compaction planned against `parent`)
+    // must abort, not clobber the append.
+    intercept[CommitConflictException] {
+      t.commit(Some(parent), "compact", addManifests = Nil,
+        keepManifests = Nil, removedPaths = paths)
+    }
+  }
+}
