@@ -31,6 +31,19 @@ object SparkEntry {
     "p1_parse_project" -> ((s, d) => Queries.p1ParseProject(s, d)),
     "m3_stats_agg" -> ((s, d) => Queries.m3StatsAgg(s, d)),
     "m4_orphan_antijoin" -> ((s, d) => Queries.m4OrphanAntiJoin(s, d)),
+    // Training-data pipeline operators
+    "text_analyze" -> ((s, d) => ops.TextOps.analyze(s, d)),
+    "dedup_exact" -> ((s, d) => ops.Dedup.exact(ops.Dedup.augmented(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => ops.Dedup.minhashLsh(ops.Dedup.augmented(s, d))),
+    "dedup_simhash" -> ((s, d) => ops.Dedup.simhashDups(ops.Dedup.augmented(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => ops.Dedup.ngramJaccard(ops.Dedup.augmented(s, d))),
+    "sim_bruteforce_topk" -> ((s, d) =>
+      ops.Similarity.bruteForceTopK(s.read.parquet(s"$d/embeddings.parquet"))),
+    "sim_lsh_ann" -> ((s, d) =>
+      ops.Similarity.lshTopK(s.read.parquet(s"$d/embeddings.parquet"))),
+    "dedup_embedding" -> ((s, d) =>
+      ops.Similarity.embeddingDups(s.read.parquet(s"$d/embeddings.parquet"))),
+    "multimodal_features" -> ((s, d) => ops.Multimodal.featureSummary(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +61,14 @@ object SparkEntry {
     "p1_parse_project" -> Queries.p1Sql,
     "m3_stats_agg" -> Queries.m3Sql,
     "m4_orphan_antijoin" -> Queries.m4Sql,
+    "text_analyze" -> ops.TextOps.analyzeSql,
+    "dedup_exact" -> ops.Dedup.exactSql,
+    "dedup_minhash_lsh" -> ops.Dedup.minhashSql,
+    "dedup_simhash" -> ops.Dedup.simhashSql,
+    "dedup_ngram_jaccard" -> ops.Dedup.ngramJaccardSql,
+    "sim_bruteforce_topk" -> ops.Similarity.bruteForceSql,
+    "multimodal_features" -> ops.Multimodal.featureSummarySql,
+    // sim_lsh_ann, dedup_embedding: approximate/row-count-only checks —
+    // recall vs brute force is asserted in OpsSpec instead.
   )
 }

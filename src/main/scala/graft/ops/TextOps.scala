@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * Catalyst column expressions (codegen'd, no UDFs) with exact DuckDB
+  * SQL mirrors so the driver's oracle verifies them bit-for-bit.
+  */
+object TextOps {
+
+  /** Normalized word list: lowercase alphanumeric runs. */
+  def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace token count (size of '\S+' matches — exact cross-engine
+    * semantics, unlike split() whose trailing-empty behavior differs).
+    */
+  def tokenCountWs(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
+
+  /** BPE-ish subword count: greedy <=4-char lowercase chunks plus one
+    * token per non-letter symbol — a deterministic stand-in for a real
+    * BPE vocab (the container has no tokenizer lib), with the right
+    * scaling behavior (longer words -> more subwords).
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]{1,4}|[^a-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Stopword hit count for a language's marker set. */
+  private def hits(text: Column, stopwords: Seq[String]): Column = {
+    val pat = "\\b(" + stopwords.mkString("|") + ")\\b"
+    size(regexp_extract_all(lower(text), lit(pat), lit(0))).cast("long")
+  }
+
+  val EnStops = Seq("the", "a", "of", "and", "to", "in", "is")
+  val EsStops = Seq("el", "la", "de", "y", "que", "en", "los")
+  val FrStops = Seq("le", "la", "de", "et", "que", "en", "les")
+  val DeStops = Seq("der", "die", "das", "und", "zu", "den", "ist")
+
+  /** n-gram/stopword-heuristic language ID: argmax of per-language
+    * marker-word hit counts, 'und' (undetermined) when all are zero.
+    * Deterministic tie-break by language code order (de<en<es<fr).
+    */
+  def langId(text: Column): Column = {
+    val de = hits(text, DeStops); val en = hits(text, EnStops)
+    val es = hits(text, EsStops); val fr = hits(text, FrStops)
+    val best = greatest(de, en, es, fr)
+    when(best === 0, "und")
+      .when(de === best, "de")
+      .when(en === best, "en")
+      .when(es === best, "es")
+      .otherwise("fr")
+  }
+
+  /** Quality score in [0,100]: rewards reasonable length, average word
+    * length and stopword density; penalizes punctuation soup. Integer
+    * arithmetic end-to-end so the oracle matches exactly.
+    */
+  def qualityScore(text: Column): Column = {
+    val nWords = size(words(text)).cast("long")
+    val nChars = length(text).cast("long")
+    val nPunct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+    val nStops = hits(text, EnStops)
+    val lengthPts = least(nWords, lit(50L)) // up to 50
+    val stopPts = least(nStops * 5, lit(30L)) // up to 30
+    // floor() because Spark's `/` on longs is double division; floor of a
+    // correctly-rounded positive quotient == integer floor-div (DuckDB //).
+    val punctPenalty = least(
+      floor(nPunct * 100 / greatest(nChars, lit(1L))).cast("long"), lit(30L))
+    val wordLenPts = when(nWords > 0,
+      least(floor(nChars / nWords).cast("long"), lit(20L))).otherwise(lit(0L)) // up to 20
+    greatest(lit(0L), least(lit(100L), lengthPts + stopPts + wordLenPts - punctPenalty))
+  }
+
+  /** Document fingerprint (key-collision normalization a la
+    * OpenRefine/Google fingerprint): md5 of the sorted, distinct,
+    * normalized word set — robust to word order and duplication.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(words(text))), " "))
+
+  // ------------------------------------------------------------- queries
+
+  def analyze(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"),
+      tokenCountWs(col("text")).as("tok_ws"),
+      tokenCountBpe(col("text")).as("tok_bpe"),
+      langId(col("text")).as("lang_pred"),
+      qualityScore(col("text")).as("quality"),
+      fingerprint(col("text")).as("fp"))
+
+  private def sqlHits(stops: Seq[String]): String =
+    s"len(regexp_extract_all(lower(text), '\\b(${stops.mkString("|")})\\b'))"
+
+  val analyzeSql: String = {
+    val de = sqlHits(DeStops); val en = sqlHits(EnStops)
+    val es = sqlHits(EsStops); val fr = sqlHits(FrStops)
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok_ws,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}|[^a-z0-9\\s]')) AS BIGINT) AS tok_bpe,
+       |  CASE WHEN greatest($de,$en,$es,$fr) = 0 THEN 'und'
+       |       WHEN $de = greatest($de,$en,$es,$fr) THEN 'de'
+       |       WHEN $en = greatest($de,$en,$es,$fr) THEN 'en'
+       |       WHEN $es = greatest($de,$en,$es,$fr) THEN 'es'
+       |       ELSE 'fr' END AS lang_pred,
+       |  CAST(greatest(0, least(100,
+       |    least(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 50)
+       |    + least($en * 5, 30)
+       |    + CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+       |           THEN least(length(text) // len(regexp_extract_all(lower(text), '[a-z0-9]+')), 20)
+       |           ELSE 0 END
+       |    - least(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 100 // greatest(length(text), 1), 30)
+       |  )) AS BIGINT) AS quality,
+       |  md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fp
+       |FROM documents""".stripMargin
+  }
+}

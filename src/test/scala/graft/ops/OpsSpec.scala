@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the training-data ops that have no DuckDB oracle
+  * (approximate algorithms) plus sanity coverage of the exact ones.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("LSH ANN achieves useful recall vs brute-force top-k") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 5, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, nQueries = 5, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 12 planes over 64-dim gaussian vectors: same-bucket candidates are
+    // few; recall is approximate by design — assert it's clearly better
+    // than random (random would be ~10/500 = 2%).
+    assert(recall >= 0.2, s"LSH recall $recall vs brute force")
+    // Every ANN neighbor must be a real row, never the query itself.
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("embedding near-dup detection finds planted duplicates") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // Plant exact duplicates: vec_id+10000 with identical embedding.
+    val planted = emb.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
+    val aug = emb.unionByName(planted)
+    val dups = Similarity.embeddingDups(aug, nPlanes = 8, simThreshold = 0.999)
+      .as[(Long, Long)].collect().toSet
+    val expected = planted.select(($"vec_id" - 10000), $"vec_id")
+      .as[(Long, Long)].collect().toSet
+    // Identical vectors always share every LSH bucket -> 100% recall on
+    // exact duplicates.
+    assert(expected.subsetOf(dups),
+      s"missed ${(expected -- dups).size} of ${expected.size} planted dups")
+  }
+
+  test("multimodal: partition-wise feature extraction is deterministic and schema-correct") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema.fieldNames.toSeq ==
+      Seq("doc_id", "media_type", "n_bytes", "first_byte", "feat"))
+    val r = feats.orderBy($"doc_id").head()
+    assert(r.feat.length == 8)
+    // Deterministic across runs (stub decoder is pure).
+    val c1 = feats.agg(sum($"n_bytes")).head().getLong(0)
+    val c2 = Multimodal.extractFeatures(media).agg(sum($"n_bytes")).head().getLong(0)
+    assert(c1 == c2 && c1 > 0)
+    // n_bytes metadata matches the actual payload length.
+    assert(media.filter(octet_length($"media") =!= $"n_bytes").count() == 0)
+  }
+
+  test("minhash LSH finds planted near-duplicates with high recall") {
+    val aug = Dedup.augmented(spark, dir)
+    val pairs = Dedup.minhashLsh(aug).select($"a", $"b").as[(Long, Long)]
+      .collect().toSet
+    // Exact duplicates (+200000) must ALL be found (identical signatures).
+    val exactPlanted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id".cast("long"), ($"doc_id" + 200000).cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(exactPlanted.subsetOf(pairs),
+      s"minhash missed ${(exactPlanted -- pairs).size} exact duplicates")
+    // Near-duplicates (+100000, one appended word): high but not
+    // necessarily perfect recall.
+    val nearPlanted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id".cast("long"), ($"doc_id" + 100000).cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val recall = (nearPlanted & pairs).size.toDouble / nearPlanted.size
+    assert(recall >= 0.8, s"minhash near-dup recall $recall")
+  }
+
+  test("text ops: language ID prefers the marker language; fingerprint collapses word order") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house"),
+      (2L, "der hund und die katze ist zu den"),
+      (3L, "xyzzy qwerty plugh")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.langId($"text").as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "und")
+    val fps = Seq((1L, "alpha beta gamma"), (2L, "gamma alpha beta alpha"))
+      .toDF("doc_id", "text")
+      .select(TextOps.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1), "fingerprint must ignore order and multiplicity")
+  }
+}
