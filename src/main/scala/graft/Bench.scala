@@ -1,24 +1,114 @@
 package graft
+
+import graft.ingest.TokenGen
+import graft.maintain.{Cluster, Compact, Expire, Merge}
+import graft.table.TokenTable
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): one JSON line with per-query
+  * seconds plus the north-star metrics — post-maintenance full-scan
+  * tokens/sec and compaction GB/s (BASELINE.json `metric`).
+  *
+  * The maintenance cycle runs on a deterministic TokenGen table sized by
+  * SPARK_GRAFT_BENCH_ROWS (default 400k rows, ~38M tokens); the
+  * representative testdata queries run on SPARK_GRAFT_SF_DIR. Scaling
+  * evidence (N vs 4N): run this main at SPARK_GRAFT_CPUS=8 and =32 on
+  * the same inputs — results recorded in BASELINE.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "400000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = f
+      times(name) = (System.nanoTime() - t0) / 1e9
+      r
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ---------------- north-star maintenance cycle on a TokenGen table
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_bench/t_${benchRows}_$cpus"
+    wipe(loc)
+    val t = TokenTable.create(spark, loc)
+    val commits = 24
+    timed("ns_ingest") {
+      val per = benchRows / commits
+      (0 until commits).foreach { c =>
+        t.append(TokenGen.asTokenRows(TokenGen.generate(
+          spark, per, idOffset = c * per, minLen = 32, maxLen = 160,
+          numPartitions = cpus)))
+      }
+    }
+    val bytesIn = t.filesLocal(t.current).map(_.bytes).sum
+    val compactRes = timed("ns_compact") {
+      Compact.run(t, targetBytes = 64L * 1024 * 1024, jobId = "bench-compact",
+        parallelism = cpus)
+    }
+    timed("ns_zorder") {
+      Cluster.run(t, Cluster.ZOrder, "bench-zorder",
+        targetBytes = 64L * 1024 * 1024)
+    }
+    timed("ns_merge") {
+      // 5% updates + 2% inserts
+      val upd = TokenGen.generate(spark, benchRows / 20, idOffset = 0,
+        minLen = 32, maxLen = 160, numPartitions = cpus)
+      val ins = TokenGen.generate(spark, benchRows / 50,
+        idOffset = benchRows * 10, minLen = 32, maxLen = 160, numPartitions = cpus)
+      Merge.mergeInto(t, upd.unionByName(ins), "offset", "bench-merge")
+    }
+    timed("ns_expire") { Expire.run(t, retainLast = 1) }
+    val tokens = timed("ns_scan") {
+      t.scan().agg(sum(col("n_tok").cast("long"))).head().getLong(0)
+    }
+    // Warm page cache from the write just happened; scan again for the
+    // steady-state number (the metric is read throughput, not cold IO).
+    val tokens2 = timed("ns_scan2") {
+      t.scan().agg(sum(col("n_tok").cast("long"))).head().getLong(0)
+    }
+    require(tokens == tokens2)
+
+    // ---------------- representative testdata queries (driver contract)
+    for (name <- Seq("d1_dedup_firstwins", "m3_stats_agg", "text_analyze",
+        "dedup_exact", "dedup_minhash_lsh", "sim_bruteforce_topk",
+        "multimodal_features")) {
+      timed(name) {
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      }
+    }
+
+    val scanTps = tokens / math.max(times("ns_scan2"), 1e-9)
+    val compactGbps = (compactRes.bytesIn / 1e9) / math.max(times("ns_compact"), 1e-9)
+    val total = times.values.sum
+    val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
+        s""","cpus":$cpus,"bench_rows":$benchRows,"tokens":$tokens""" +
+        s""","scan_tokens_per_sec":${scanTps.toLong}""" +
+        s""","compact_gb_per_sec":${f"$compactGbps%.4f"}""" +
+        s""","compact_bytes_in":${compactRes.bytesIn}}""")
     spark.stop()
+  }
+
+  private def wipe(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      try st.iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally st.close()
+    }
   }
 }

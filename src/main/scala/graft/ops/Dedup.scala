@@ -51,14 +51,27 @@ object Dedup {
   val MinhashK = 12 // signature length
   val MinhashBands = 4 // x 3 rows/band
 
-  /** MinHash signature: sig_j = lexicographic min of md5("j:" + shingle)
-    * — the permutation family is "sort by keyed md5", which needs no
-    * cross-engine integer hash. Returns an array<string> of length K.
+  /** MinHash signatures via explode + aggregate: sig_j = lexicographic
+    * min of md5("j:" + shingle) — the permutation family is "sort by
+    * keyed md5", which needs no cross-engine integer hash.
+    *
+    * Deliberately NOT a nested higher-order-function expression:
+    * Catalyst does no common-subexpression elimination inside lambda
+    * bodies, so an `array(transform(shingles(text), ...) x K)` tree
+    * re-evaluates the shingle regex O(K * n) times per row. Exploding
+    * shingles to rows evaluates it once, and the K mins become one
+    * hash aggregate (map-side partial agg + a single shuffle on doc_id
+    * — the shape that scales).
     */
-  def minhashSignature(text: Column): Column = {
-    val sh = shingles(text)
-    array((0 until MinhashK).map(j =>
-      array_min(transform(sh, s => md5(concat(lit(s"$j:"), s))))): _*)
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text")))).as("s"))
+    val aggs = (0 until MinhashK).map(j =>
+      min(md5(concat(lit(s"$j:"), col("s")))).as(s"sig$j"))
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(j => col(s"sig$j")): _*).as("sig"))
   }
 
   /** MinHash+LSH near-dup pairs: band on md5 of 3 consecutive sigs,
@@ -72,8 +85,7 @@ object Dedup {
     * production config.
     */
   def minhashLsh(docs: DataFrame, minMatches: Int = 6): DataFrame = {
-    val spark = docs.sparkSession
-    val sigs = docs.select(col("doc_id"), minhashSignature(col("text")).as("sig"))
+    val sigs = minhashSignatures(docs)
     val bands = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until MinhashBands).map(b =>
         md5(concat(element_at(col("sig"), b * 3 + 1),
@@ -107,28 +119,33 @@ object Dedup {
     (nib(0) + nib(1) * 16 + nib(2) * 256 + nib(3) * 4096).cast("int")
   }
 
-  /** 16-bit SimHash over the word multiset: bit b set iff the sum of
-    * (2*bit_b(word16)-1) over words is positive.
+  /** 16-bit SimHash over the word multiset via explode + aggregate
+    * (same CSE rationale as [[minhashSignatures]]): bit b set iff the
+    * sum of (2*bit_b(word16)-1) over words is positive. Docs with no
+    * words get simhash 0 (matching the oracle's coalesce).
     */
-  def simhash(text: Column): Column = {
-    val wh = transform(TextOps.words(text), w => word16(md5(w)))
-    (0 until 16).map { b =>
-      when(aggregate(wh, lit(0L), (acc, h) =>
-        acc + (shiftright(h, b).bitwiseAND(lit(1)) * 2 - 1).cast("long")) > 0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def simhashed(docs: DataFrame): DataFrame = {
+    val w = docs.select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("w"))
+      .withColumn("h16", word16(md5(col("w"))))
+    val aggs = (0 until 16).map(b =>
+      sum((shiftright(col("h16"), b).bitwiseAND(lit(1)) * 2 - 1).cast("long")).as(s"b$b"))
+    val perDoc = w.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
   /** SimHash dup groups: documents sharing an identical 16-bit simhash
     * (hamming distance 0; banded hamming<=k joins are the production
-    * extension). Output: per-doc simhash + its group's first-wins id.
+    * extension). Output: per-group simhash + first-wins id + size.
     */
-  def simhashDups(docs: DataFrame): DataFrame = {
-    val hashed = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
-    hashed.groupBy(col("simhash"))
+  def simhashDups(docs: DataFrame): DataFrame =
+    simhashed(docs).groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
-  }
 
   // ---------------------------------------------------- ngram jaccard
 

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.ingest.{Ingest, RawMessage}
+import graft.table.TokenTable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming ingest — the reference's continuous consumer
+  * loop (`/root/reference/src/kafka/mod.rs:159-241`) re-expressed:
+  * each micro-batch runs the full parse -> quarantine -> dedup -> append
+  * pipeline and commits exactly one snapshot (X1), and the per-partition
+  * offset watermarks inside the snapshot make redelivered batches
+  * no-ops, so `foreachBatch`'s at-least-once delivery becomes an
+  * exactly-once table effect — precisely the reference's guarantee.
+  *
+  * The reference's size/time batch trigger (T1,
+  * `src/kafka/mod.rs:182-187`: flush at max_buffer_size rows OR
+  * max_wait_secs elapsed) maps onto Structured Streaming natively:
+  * `Trigger.ProcessingTime` bounds the wait, source admission options
+  * (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`) bound the size.
+  */
+object StreamingIngest {
+
+  /** Start continuous ingest from any RawMessage stream (with a real
+    * Kafka jar this would be `spark.readStream.format("kafka")` mapped
+    * to RawMessage; the semantics downstream are source-independent).
+    */
+  def start(table: TokenTable, stream: Dataset[RawMessage],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      deadLetterDir: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[RawMessage], _: Long) =>
+        Ingest.ingestBatch(table, batch, deadLetterDir)
+        ()
+      }
+      .start()
+
+  /** Event-time streaming dedup (the watermark-bounded analog of D1 for
+    * sources with an event-time column): keeps the first occurrence per
+    * key among rows whose event time is within the watermark.
+    */
+  def dedupWithinWatermark(msgs: DataFrame, eventTimeCol: String,
+      keyCol: String, delay: String): DataFrame =
+    msgs.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Windowed event-time aggregation over a message stream: rows per
+    * key per tumbling window — the streaming metrics analog of the
+    * reference's counters (M1-M7).
+    */
+  def windowedCounts(msgs: DataFrame, eventTimeCol: String,
+      keyCol: String, windowLen: String, delay: String): DataFrame =
+    msgs.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(s"window.start").as("window_start"), col(keyCol), col("n"))
+}

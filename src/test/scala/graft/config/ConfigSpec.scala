@@ -1,0 +1,68 @@
+package graft.config
+
+import graft.GraftError
+import org.scalatest.funsuite.AnyFunSuite
+
+/** G1 config validation tests, translated from the reference's suite
+  * (`/root/reference/src/config/mod.rs:181-289`): valid load, each
+  * missing mandatory field, warn-and-default for tuning knobs. Plus G2
+  * error-display tests (`src/handlers/mod.rs:104-150`).
+  */
+class ConfigSpec extends AnyFunSuite {
+  private val valid = Map(
+    "table.path" -> "/tmp/t",
+    "source.topics" -> "a,b",
+    "source.group_id" -> "g1",
+    "pipeline.max_buffer_size" -> "500",
+    "pipeline.max_wait_secs" -> "60")
+
+  test("valid config loads with explicit values") {
+    val c = GraftConfig.load(valid).toOption.get
+    assert(c.tablePath == "/tmp/t")
+    assert(c.sourceTopics == Seq("a", "b"))
+    assert(c.groupId == "g1")
+    assert(c.maxBufferSize == 500 && c.maxWaitSecs == 60)
+    assert(c.writeMode == WriteMode.Insert)
+  }
+
+  test("each missing mandatory field is a hard error") {
+    for (k <- Seq("table.path", "source.topics", "source.group_id")) {
+      val r = GraftConfig.load(valid - k)
+      assert(r.isLeft, s"expected error when $k missing")
+      assert(r.swap.toOption.get.detail.contains(k))
+    }
+    // Empty string counts as missing (reference trims + rejects).
+    assert(GraftConfig.load(valid + ("table.path" -> "  ")).isLeft)
+  }
+
+  test("invalid tuning knobs fall back to the reference defaults") {
+    val c = GraftConfig.load(valid
+      + ("pipeline.max_buffer_size" -> "not-a-number")
+      - "pipeline.max_wait_secs").toOption.get
+    assert(c.maxBufferSize == GraftConfig.DefaultMaxBufferSize) // 10000
+    assert(c.maxWaitSecs == GraftConfig.DefaultMaxWaitSecs) // 360
+  }
+
+  test("monitoring enabled without endpoint is a hard error") {
+    assert(GraftConfig.load(valid + ("monitoring.enabled" -> "true")).isLeft)
+    assert(GraftConfig.load(valid + ("monitoring.enabled" -> "true")
+      + ("monitoring.endpoint" -> "http://x")).isRight)
+  }
+
+  test("unknown write.mode is a hard error; upsert parses") {
+    assert(GraftConfig.load(valid + ("write.mode" -> "bogus")).isLeft)
+    assert(GraftConfig.load(valid + ("write.mode" -> "upsert"))
+      .toOption.get.writeMode == WriteMode.Upsert)
+  }
+
+  test("error taxonomy display strings (G2, mirrors reference handlers tests)") {
+    assert(GraftError.ConfigError("x").toString == "Config Error: x")
+    assert(GraftError.SourceError("x").toString == "Source Error: x")
+    assert(GraftError.PipelineError("x").toString == "Pipeline Error: x")
+    assert(GraftError.ParseError("x").toString == "Parse Error: x")
+    assert(GraftError.TableError("x").toString == "Table Error: x")
+    assert(GraftError.MetricsError("x").toString == "Monitoring Error: x")
+    // They are real exceptions with the category in the message.
+    assert(GraftError.TableError("boom").getMessage.contains("Table Error"))
+  }
+}

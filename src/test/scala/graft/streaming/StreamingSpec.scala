@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ingest.RawMessage
+import graft.table.TokenTable
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming integration tests: continuous ingest with exactly-once
+  * table effect across micro-batches and redelivery (the reference's
+  * rebalance-replay contract, `/root/reference/README.md:84-85`).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good =
+    """{"doc_id":"%s","tokens":[%d,2,3],"n_tok":3,"source":"web"}"""
+
+  private def msgs(lo: Long, hi: Long): Seq[RawMessage] =
+    (lo until hi).map(i =>
+      RawMessage("t", 0, i, Some(s"doc_$i"), good.format(s"doc_$i", i)))
+
+  test("streaming ingest: micro-batches append atomically; replayed offsets are no-ops") {
+    val dir = tmpDir("stream-tbl")
+    val t = TokenTable.create(spark, dir)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[RawMessage]
+    val q = StreamingIngest.start(t, source.toDS(), tmpDir("ckpt"),
+      Trigger.ProcessingTime(0L))
+    try {
+      source.addData(msgs(0, 50): _*)
+      q.processAllAvailable()
+      assert(t.scan().count() == 50)
+      val v1 = t.currentVersion
+
+      // Second micro-batch with a replayed overlap (offsets 30..79):
+      // the watermark filter must drop 30..49.
+      source.addData(msgs(30, 80): _*)
+      q.processAllAvailable()
+      assert(t.scan().count() == 80, "overlap must be exactly-once")
+      assert(t.currentVersion == v1 + 1, "one snapshot per micro-batch")
+
+      // Pure replay: no new snapshot rows.
+      source.addData(msgs(0, 80): _*)
+      q.processAllAvailable()
+      assert(t.scan().count() == 80)
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups a keyed event stream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, String, Int)]
+    val deduped = StreamingIngest.dedupWithinWatermark(
+      source.toDS().toDF("ts", "k", "v"), "ts", "k", "10 seconds")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+      source.addData((ts(0), "a", 1), (ts(1), "a", 2), (ts(2), "b", 3))
+      q.processAllAvailable()
+      source.addData((ts(3), "a", 4), (ts(4), "c", 5))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").select($"k", $"v")
+        .as[(String, Int)].collect().toMap
+      assert(rows.keySet == Set("a", "b", "c"))
+      assert(rows("a") == 1, "first occurrence must win")
+    } finally q.stop()
+  }
+
+  test("windowed event-time aggregation emits per-window counts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = StreamingIngest.windowedCounts(
+      source.toDS().toDF("ts", "k"), "ts", "k", "1 minute", "10 seconds")
+    val q = counts.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      def ts(s: Int) = new java.sql.Timestamp(t0.getTime + s * 1000L)
+      source.addData((ts(5), "x"), (ts(10), "x"), (ts(70), "x"), (ts(15), "y"))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select($"k", $"n").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(rows == Map("x" -> 3L, "y" -> 1L))
+    } finally q.stop()
+  }
+}
