@@ -21,10 +21,18 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "400000").toLong
+    // tmpfs when available: the sandbox's single virtual disk serializes
+    // concurrent IO and would measure the disk, not the engine (a real
+    // cluster has per-node disks/object storage).
+    val benchBase =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm/graft_bench"
+      else s"${System.getProperty("java.io.tmpdir")}/graft_bench"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir", s"$benchBase/spark-local")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -38,45 +46,55 @@ object Bench {
     }
 
     // ---------------- north-star maintenance cycle on a TokenGen table
-    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_bench/t_${benchRows}_$cpus"
+    val loc = s"$benchBase/t_${benchRows}_$cpus"
     wipe(loc)
     val t = TokenTable.create(spark, loc)
     val commits = 24
     timed("ns_ingest") {
       val per = benchRows / commits
       (0 until commits).foreach { c =>
+        // fixed partition count -> identical file layout at every
+        // parallelism level (the scaling comparison holds the plan
+        // constant and varies only concurrency)
         t.append(TokenGen.asTokenRows(TokenGen.generate(
           spark, per, idOffset = c * per, minLen = 32, maxLen = 160,
-          numPartitions = cpus)))
+          numPartitions = 32)))
       }
     }
     val bytesIn = t.filesLocal(t.current).map(_.bytes).sum
+    // Work-unit size is a function of DATA, not core count, so the plan
+    // is identical at every parallelism level (the N-vs-4N comparison
+    // then varies only concurrency): ~64 units total, floor 8MB.
+    val targetBytes = math.max(8L * 1024 * 1024, bytesIn / 64L)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
     val compactRes = timed("ns_compact") {
-      Compact.run(t, targetBytes = 64L * 1024 * 1024, jobId = "bench-compact",
+      Compact.run(t, targetBytes = targetBytes, jobId = "bench-compact",
         parallelism = cpus)
     }
     timed("ns_zorder") {
-      Cluster.run(t, Cluster.ZOrder, "bench-zorder",
-        targetBytes = 64L * 1024 * 1024)
+      Cluster.run(t, Cluster.ZOrder, "bench-zorder", targetBytes = targetBytes)
     }
     timed("ns_merge") {
       // 5% updates + 2% inserts
       val upd = TokenGen.generate(spark, benchRows / 20, idOffset = 0,
-        minLen = 32, maxLen = 160, numPartitions = cpus)
+        minLen = 32, maxLen = 160, numPartitions = 32)
       val ins = TokenGen.generate(spark, benchRows / 50,
-        idOffset = benchRows * 10, minLen = 32, maxLen = 160, numPartitions = cpus)
+        idOffset = benchRows * 10, minLen = 32, maxLen = 160, numPartitions = 32)
       Merge.mergeInto(t, upd.unionByName(ins), "offset", "bench-merge")
     }
     timed("ns_expire") { Expire.run(t, retainLast = 1) }
+    // Metadata-cheap scan: sum(n_tok) prunes to one int column.
     val tokens = timed("ns_scan") {
       t.scan().agg(sum(col("n_tok").cast("long"))).head().getLong(0)
     }
-    // Warm page cache from the write just happened; scan again for the
-    // steady-state number (the metric is read throughput, not cold IO).
-    val tokens2 = timed("ns_scan2") {
-      t.scan().agg(sum(col("n_tok").cast("long"))).head().getLong(0)
+    // The headline metric — post-maintenance FULL scan: decodes every
+    // token array and folds it into a checksum, so all bytes are read.
+    val fullChecksum = timed("ns_scan_full") {
+      t.scan().agg(
+        sum(col("n_tok").cast("long")),
+        sum(pmod(xxhash64(col("doc_id"), col("tokens")), lit(1000000007L)))).head()
     }
-    require(tokens == tokens2)
+    require(fullChecksum.getLong(0) == tokens, "scan disagreement")
 
     // ---------------- representative testdata queries (driver contract)
     for (name <- Seq("d1_dedup_firstwins", "m3_stats_agg", "text_analyze",
@@ -89,7 +107,7 @@ object Bench {
       }
     }
 
-    val scanTps = tokens / math.max(times("ns_scan2"), 1e-9)
+    val scanTps = tokens / math.max(times("ns_scan_full"), 1e-9)
     val compactGbps = (compactRes.bytesIn / 1e9) / math.max(times("ns_compact"), 1e-9)
     val total = times.values.sum
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -101,6 +119,8 @@ object Bench {
         s""","compact_bytes_in":${compactRes.bytesIn}}""")
     spark.stop()
   }
+
+  def wipeDir(dir: String): Unit = wipe(dir)
 
   private def wipe(dir: String): Unit = {
     val p = java.nio.file.Paths.get(dir)

@@ -91,7 +91,9 @@ object Main {
         println(s"expired ${res.expiredSnapshots.mkString(",")}; deleted ${res.deletedFiles} files")
       case "scan" =>
         val t = TokenTable.open(spark, need("table.path"))
-        val r = t.scan().agg(count(lit(1)), sum(col("n_tok").cast("long"))).head()
+        // Time travel: scan any retained snapshot with version=N.
+        val snap = kv.get("version").map(v => t.snapshotAt(v.toLong)).getOrElse(t.current)
+        val r = t.scan(snap).agg(count(lit(1)), sum(col("n_tok").cast("long"))).head()
         val secs = (System.nanoTime() - t0) / 1e9
         val toks = Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
         println(f"scan: ${r.getLong(0)} rows, $toks tokens in $secs%.2fs " +

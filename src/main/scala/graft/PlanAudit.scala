@@ -1,0 +1,57 @@
+package graft
+
+import graft.ingest.TokenGen
+import graft.table.TokenTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prints `explain("formatted")` for the engine's hot paths so plan
+  * regressions (lost pushdown, lost column pruning, broken codegen,
+  * surprise shuffles) are visible. Run: `sbt "runMain graft.PlanAudit"`.
+  * Findings are recorded in PLANS.md.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val loc = s"${System.getProperty("java.io.tmpdir")}/graft_planaudit"
+    Bench.wipeDir(loc)
+    val t = TokenTable.create(spark, loc)
+    t.append(TokenGen.asTokenRows(TokenGen.generate(spark, 10000, numPartitions = 4)))
+
+    def section(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n========== $name ==========")
+      df.explain("formatted")
+    }
+
+    section("scan + filter pushdown (source filter must reach PushedFilters)") {
+      t.scan().filter($"source" === "web" && $"n_tok" > 100).select($"doc_id", $"n_tok")
+    }
+
+    section("stats sum scan (must read ONLY n_tok in ReadSchema)") {
+      t.scan().agg(sum($"n_tok"))
+    }
+
+    section("curve-key projection (must be one WholeStageCodegen span)") {
+      t.scan().select(graft.functions.CurveKeys.zkey(20,
+        xxhash64($"doc_id").bitwiseAND(lit((1L << 20) - 1)),
+        lit(3L), least($"n_tok".cast("long"), lit(1048575L))).as("z"))
+    }
+
+    section("merge anti-join (small source must BroadcastHashJoin)") {
+      val src = TokenGen.asTokenRows(TokenGen.generate(spark, 100, numPartitions = 1))
+      t.scan().join(src, Seq("doc_id"), "left_anti")
+    }
+
+    section("dedup window (single shuffle on doc_id)") {
+      graft.maintain.Merge.dedupFirstWins(
+        TokenGen.generate(spark, 1000, numPartitions = 2), "offset")
+    }
+
+    spark.stop()
+  }
+}

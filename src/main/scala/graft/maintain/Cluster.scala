@@ -105,6 +105,13 @@ object Cluster {
 
   case class Result(snapshot: Snapshot, buckets: Int, saltedBuckets: Int)
 
+  private def timing[A](name: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_TIMING")) {
+      val t0 = System.nanoTime(); val r = f
+      System.err.println(f"[cluster] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    } else f
+
   def run(table: TokenTable, curve: Curve, jobId: String,
       targetBytes: Long = 128L * 1024 * 1024): Result = {
     val spark = table.spark
@@ -117,16 +124,20 @@ object Cluster {
     val totalRows = all.map(_.rows).sum
     val buckets = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-    val dict = table.scan().select($"source").distinct().as[String]
-      .collect().sorted.zipWithIndex.toMap
+    val dict = timing("dict") {
+      table.scan().select($"source").distinct().as[String]
+        .collect().sorted.zipWithIndex.toMap
+    }
     val maxNtok = all.map(_.maxNtok).max
     val keyed = table.scan().withColumn("ckey", curveKey(curve, dict, maxNtok))
 
     // Sample once; reuse for boundaries and skew detection.
     val fraction = math.min(1.0, 200000.0 / math.max(1L, totalRows))
-    val sampleKeys = keyed.select($"ckey")
-      .sample(withReplacement = false, fraction, seed = 42L)
-      .as[Long].collect().sorted
+    val sampleKeys = timing("sample") {
+      keyed.select($"ckey")
+        .sample(withReplacement = false, fraction, seed = 42L)
+        .as[Long].collect().sorted
+    }
     val boundaries: Array[Long] =
       if (sampleKeys.isEmpty) Array.empty
       else (1 until buckets)
@@ -161,13 +172,15 @@ object Cluster {
       .sortWithinPartitions($"ckey")
       .select("doc_id", "tokens", "n_tok", "source")
 
-    val out = table.writeDataFilesTo(clustered, s"data/$jobId",
-      overwrite = true, sortBy = None)
+    val out = timing("shuffle+sort+write+stats") {
+      table.writeDataFilesTo(clustered, s"data/$jobId",
+        overwrite = true, sortBy = None)
+    }
     Lineage.completeTask(table, Lineage.TaskRecord(
       jobId, "cluster", all.map(_.path), out,
       rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
       status = "done", durationMs = 0L))
-    val manifest = table.writeManifest(out)
+    val manifest = timing("manifest") { table.writeManifest(out) }
     val snap = table.commit(Some(parent), if (curve == ZOrder) "zorder" else "hilbert",
       addManifests = Seq(manifest), keepManifests = Nil,
       removedPaths = all.map(_.path).toSet,

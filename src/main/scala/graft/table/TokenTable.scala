@@ -101,48 +101,94 @@ class TokenTable(val location: String, val spark: SparkSession) {
   }
 
   /** Manifest rows (with stats) for every parquet file under a
-    * table-relative data directory. One aggregation job, grouped by
-    * physical file, pruned to the three stat columns.
+    * table-relative data directory.
+    *
+    * min/max/rows come straight from the parquet FOOTERS (the writer
+    * already computed them — re-scanning data for stats would read the
+    * table twice, which at 100TB is the difference between a metadata
+    * operation and a second full pass). Only sum(n_tok) needs real data,
+    * and that scan reads exactly one int32 column. Footer reads are
+    * parallelized on a small driver pool; for 10^6-file commits this
+    * would be distributed over `spark.range(files)` instead.
     */
   def statsFor(relDir: String): Seq[DataFile] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
     val abs = s"$location/$relDir"
-    val sizes: Map[String, Long] = Files
-      .walk(Paths.get(abs))
-      .iterator()
-      .asScala
+    val paths = Files.walk(Paths.get(abs)).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(p => (p.toAbsolutePath.toString, Files.size(p)))
-      .toMap
-    val agg = spark.read
-      .parquet(abs)
-      .select($"doc_id", $"n_tok", $"source")
-      .groupBy(input_file_name().as("uri"))
-      .agg(
-        count(lit(1)).as("rows"),
-        min($"doc_id").as("minDocId"),
-        max($"doc_id").as("maxDocId"),
-        min($"n_tok").as("minNtok"),
-        max($"n_tok").as("maxNtok"),
-        sum($"n_tok").as("sumNtok"),
-        min($"source").as("minSource"),
-        max($"source").as("maxSource"))
-      .collect()
+      .map(_.toAbsolutePath).toSeq
+    if (paths.isEmpty) return Nil
+    val conf = spark.sessionState.newHadoopConf()
     val root = Paths.get(location).toAbsolutePath.toString
-    agg.map { r =>
-      val fsPath = new java.net.URI(r.getAs[String]("uri")).getPath
-      val relPath = fsPath.stripPrefix(root).stripPrefix("/")
-      DataFile(
-        path = relPath,
-        bytes = sizes.getOrElse(fsPath, 0L),
-        rows = r.getAs[Long]("rows"),
-        minDocId = r.getAs[String]("minDocId"),
-        maxDocId = r.getAs[String]("maxDocId"),
-        minNtok = r.getAs[Int]("minNtok"),
-        maxNtok = r.getAs[Int]("maxNtok"),
-        sumNtok = r.getAs[Long]("sumNtok"),
-        minSource = r.getAs[String]("minSource"),
-        maxSource = r.getAs[String]("maxSource"))
-    }.toSeq
+
+    // sum(n_tok) per file: one int-column scan (vectorized, no strings).
+    val sums: Map[String, Long] = spark.read.parquet(abs)
+      .select($"n_tok")
+      .groupBy(input_file_name().as("uri"))
+      .agg(sum($"n_tok").as("s"))
+      .collect()
+      .map(r => new java.net.URI(r.getAs[String]("uri")).getPath ->
+        r.getAs[Long]("s"))
+      .toMap
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, paths.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = paths.map { p =>
+      scala.concurrent.Future {
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          var rows = 0L
+          var minDoc: String = null; var maxDoc: String = null
+          var minSrc: String = null; var maxSrc: String = null
+          var minN = Int.MaxValue; var maxN = Int.MinValue
+          def utf8(v: Any): String = v match {
+            case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+            case x => String.valueOf(x)
+          }
+          blocks.forEach { b =>
+            rows += b.getRowCount
+            b.getColumns.forEach { c =>
+              val st = c.getStatistics
+              c.getPath.toDotString match {
+                case "doc_id" if st != null && st.hasNonNullValue =>
+                  val lo = utf8(st.genericGetMin); val hi = utf8(st.genericGetMax)
+                  if (minDoc == null || lo < minDoc) minDoc = lo
+                  if (maxDoc == null || hi > maxDoc) maxDoc = hi
+                case "source" if st != null && st.hasNonNullValue =>
+                  val lo = utf8(st.genericGetMin); val hi = utf8(st.genericGetMax)
+                  if (minSrc == null || lo < minSrc) minSrc = lo
+                  if (maxSrc == null || hi > maxSrc) maxSrc = hi
+                case "n_tok" if st != null && st.hasNonNullValue =>
+                  val lo = st.genericGetMin.asInstanceOf[Number].intValue
+                  val hi = st.genericGetMax.asInstanceOf[Number].intValue
+                  if (lo < minN) minN = lo
+                  if (hi > maxN) maxN = hi
+                case _ =>
+              }
+            }
+          }
+          if (rows == 0L) None // empty partitions produce empty files
+          else Some(DataFile(
+            path = p.toString.stripPrefix(root).stripPrefix("/"),
+            bytes = Files.size(p),
+            rows = rows,
+            minDocId = minDoc, maxDocId = maxDoc,
+            minNtok = minN, maxNtok = maxN,
+            sumNtok = sums.getOrElse(p.toString, 0L),
+            minSource = minSrc, maxSource = maxSrc))
+        } finally reader.close()
+      }
+    }
+    try {
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf).flatten
+    } finally pool.shutdown()
   }
 
   /** Persist manifest rows as an immutable manifest parquet; returns its
