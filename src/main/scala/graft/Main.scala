@@ -69,9 +69,13 @@ object Main {
           kv.getOrElse("parallelism", "8").toInt)
         println(s"compacted ${res.filesIn} -> ${res.filesOut} files " +
           s"(${res.binsRewritten} bins, ${res.bytesIn} bytes in, resumed=${res.resumedTasks})")
-      case "zorder" | "hilbert" =>
+      case "zorder" | "hilbert" | "cluster-docid" =>
         val t = TokenTable.open(spark, need("table.path"))
-        val curve = if (cmd == "zorder") Cluster.ZOrder else Cluster.Hilbert
+        val curve = cmd match {
+          case "zorder" => Cluster.ZOrder
+          case "hilbert" => Cluster.Hilbert
+          case _ => Cluster.ByDocId
+        }
         val res = Cluster.run(t, curve,
           kv.getOrElse("job.id", s"$cmd-${java.util.UUID.randomUUID()}"),
           kv.getOrElse("table.target_file_bytes",

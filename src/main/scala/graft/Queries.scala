@@ -138,6 +138,21 @@ object Queries {
       |UNION ALL SELECT * FROM updates
       |UNION ALL SELECT * FROM inserts""".stripMargin
 
+  def m2DocIdClusterScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(spark, dir, "m2d", commits = 6)
+    Cluster.run(t, Cluster.ByDocId, "q-m2d", targetBytes = 64L * 1024)
+    scanProjection(t.scan())
+  }
+
+  /** M7 lineage metrics after a compaction job — per-task rows/tokens.
+    * Not SQL-expressible (depends on bin planning), so rows-only.
+    */
+  def m7LineageMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(spark, dir, "m7", commits = 8)
+    Compact.run(t, targetBytes = 8L * 1024 * 1024, jobId = "q-m7")
+    graft.lineage.Lineage.metrics(spark, t, "q-m7")
+  }
+
   def m4ExpireScan(spark: SparkSession, dir: String): DataFrame = {
     val t = buildTable(spark, dir, "m4", commits = 6)
     Compact.run(t, targetBytes = 8L * 1024 * 1024, jobId = "q-m4")

@@ -24,6 +24,8 @@ object SparkEntry {
     "m2_hilbert_scan" -> ((s, d) => Queries.m2HilbertScan(s, d)),
     "m6_merge_scan" -> ((s, d) => Queries.m6MergeScan(s, d)),
     "m4_expire_scan" -> ((s, d) => Queries.m4ExpireScan(s, d)),
+    "m2_docid_cluster_scan" -> ((s, d) => Queries.m2DocIdClusterScan(s, d)),
+    "m7_lineage_metrics" -> ((s, d) => Queries.m7LineageMetrics(s, d)),
     // Reference-pipeline operators (SURVEY.md §2)
     "d1_dedup_firstwins" -> ((s, d) => Queries.d1DedupFirstWins(s, d)),
     "d2_sort_limit" -> ((s, d) => Queries.d2SortLimit(s, d)),
@@ -55,6 +57,8 @@ object SparkEntry {
     "m2_hilbert_scan" -> Queries.tokenizedDocsSql,
     "m6_merge_scan" -> Queries.m6MergeSql,
     "m4_expire_scan" -> Queries.tokenizedDocsSql,
+    "m2_docid_cluster_scan" -> Queries.tokenizedDocsSql,
+    // m7_lineage_metrics: depends on bin planning -> rows-only check.
     "d1_dedup_firstwins" -> Queries.d1Sql,
     "d2_sort_limit" -> Queries.d2Sql,
     "t1_batch_trigger" -> Queries.t1Sql,

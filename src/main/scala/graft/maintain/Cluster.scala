@@ -24,6 +24,11 @@ object Cluster {
   sealed trait Curve
   case object ZOrder extends Curve
   case object Hilbert extends Curve
+  /** Single-dimension layout: cluster by doc_id rank (lexicographic).
+    * Trades multi-dim locality for maximal doc_id pruning — the layout
+    * MERGE INTO wants, since its file pruning is doc_id min/max based.
+    */
+  case object ByDocId extends Curve
 
   val BitsPerDim = 20 // 3 dims x 20 bits = 60 <= 63
 
@@ -105,6 +110,85 @@ object Cluster {
 
   case class Result(snapshot: Snapshot, buckets: Int, saltedBuckets: Int)
 
+  /** Range-cluster by doc_id (ByDocId): explicit sampled STRING
+    * boundaries (the key is lexicographic doc_id order, not a numeric
+    * curve), salt for heavy buckets, one shuffle, files sorted by
+    * doc_id — after this layout, MERGE's manifest min/max pruning is
+    * maximally selective.
+    */
+  def runByDocId(table: TokenTable, jobId: String,
+      targetBytes: Long = 128L * 1024 * 1024): Result = {
+    val spark = table.spark
+    import spark.implicits._
+    val parent = table.current
+    val all = table.filesLocal(parent)
+    if (all.isEmpty) return Result(parent, 0, 0)
+    val totalBytes = all.map(_.bytes).sum
+    val totalRows = all.map(_.rows).sum
+    val buckets = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+
+    val fraction = math.min(1.0, 200000.0 / math.max(1L, totalRows))
+    val sampleKeys = table.scan().select($"doc_id")
+      .sample(withReplacement = false, fraction, seed = 42L)
+      .as[String].collect().sorted
+    val boundaries: Array[String] =
+      if (sampleKeys.isEmpty) Array.empty
+      else (1 until buckets)
+        .map(i => sampleKeys((i.toLong * sampleKeys.length / buckets).toInt.min(sampleKeys.length - 1)))
+        .distinct.toArray
+
+    // Skew detection on the same sample (duplicate-heavy key ranges).
+    val counts = new Array[Long](boundaries.length + 1)
+    sampleKeys.foreach { k =>
+      var b = java.util.Arrays.binarySearch(boundaries.asInstanceOf[Array[AnyRef]], k,
+        null.asInstanceOf[java.util.Comparator[AnyRef]])
+      if (b < 0) b = -b - 1 else b = b + 1
+      counts(b) += 1
+    }
+    val mean = math.max(1.0, sampleKeys.length.toDouble / counts.length)
+    val salts = counts.zipWithIndex.collect {
+      case (c, i) if c > 2 * mean => i -> math.ceil(c / mean).toInt
+    }.toMap
+
+    val bucketExpr =
+      if (boundaries.isEmpty) lit(0)
+      else aggregate(lit(boundaries), lit(0),
+        (acc, b) => acc + when(col("doc_id") >= b, 1).otherwise(0))
+    val saltExpr = if (salts.isEmpty) lit(0) else {
+      val factor = salts.foldLeft(lit(1)) { case (acc, (b, f)) =>
+        when(col("bucket") === b, lit(f)).otherwise(acc)
+      }
+      pmod(xxhash64($"doc_id", $"n_tok"), factor.cast("long")).cast("int")
+    }
+    val bases = new Array[Int](boundaries.length + 1)
+    var acc = 0
+    (0 until bases.length).foreach { b => bases(b) = acc; acc += salts.getOrElse(b, 1) }
+
+    val clustered = table.scan()
+      .withColumn("bucket", bucketExpr)
+      .withColumn("salt", saltExpr)
+      .withColumn("pid", element_at(lit(bases), col("bucket") + 1) + col("salt"))
+      .repartitionByRange(math.max(1, acc), $"pid")
+      .sortWithinPartitions($"doc_id")
+      .select("doc_id", "tokens", "n_tok", "source")
+
+    val out = table.writeDataFilesTo(clustered, s"data/$jobId",
+      overwrite = true, sortBy = None)
+    Lineage.completeTask(table, Lineage.TaskRecord(
+      jobId, "cluster-by-docid", all.map(_.path), out,
+      rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
+      status = "done", durationMs = 0L))
+    val manifest = table.writeManifest(out)
+    val snap = table.commit(Some(parent), "cluster-by-docid",
+      addManifests = Seq(manifest), keepManifests = Nil,
+      removedPaths = all.map(_.path).toSet,
+      summary = Map(
+        "buckets" -> (boundaries.length + 1).toString,
+        "salted-buckets" -> salts.size.toString,
+        "files-out" -> out.size.toString))
+    Result(snap, boundaries.length + 1, salts.size)
+  }
+
   private def timing[A](name: String)(f: => A): A =
     if (sys.env.contains("GRAFT_TIMING")) {
       val t0 = System.nanoTime(); val r = f
@@ -114,6 +198,7 @@ object Cluster {
 
   def run(table: TokenTable, curve: Curve, jobId: String,
       targetBytes: Long = 128L * 1024 * 1024): Result = {
+    if (curve == ByDocId) return runByDocId(table, jobId, targetBytes)
     val spark = table.spark
     import spark.implicits._
     val parent = table.current

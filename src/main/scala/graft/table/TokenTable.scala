@@ -48,6 +48,12 @@ class TokenTable(val location: String, val spark: SparkSession) {
     */
   def scan(): DataFrame = scan(current)
 
+  /** Register the current snapshot as a temp view so SQL text queries
+    * (`spark.sql("SELECT ... FROM name")`, the merge rewrite, ad-hoc
+    * analysis) compile against the table through Spark SQL.
+    */
+  def registerView(name: String): Unit = scan().createOrReplaceTempView(name)
+
   def scan(s: Snapshot): DataFrame = {
     val paths = filesLocal(s).map(f => s"$location/${f.path}")
     if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -1,0 +1,40 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.table.TokenTable
+
+/** S2 dead-letter sink: quarantined rows land in the DLQ table with
+  * their error AND original payload (strictly more than the reference,
+  * which forwards only the error string —
+  * `/root/reference/src/kafka/mod.rs:288-300`), while good rows commit.
+  */
+class DeadLetterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ingest with deadLetterDir: bad rows quarantined, good rows committed") {
+    val dir = tmpDir("dlq-tbl")
+    val dlq = tmpDir("dlq-out")
+    val t = TokenTable.create(spark, dir)
+    val good = """{"doc_id":"doc_%d","tokens":[1,2],"n_tok":2,"source":"web"}"""
+    val batch = Seq(
+      RawMessage("t", 0, 0, Some("k0"), good.format(0)),
+      RawMessage("t", 0, 1, Some("k1"), "garbage"),
+      RawMessage("t", 0, 2, Some("k2"), """{"doc_id":"x","n_tok":1,"source":"web"}"""),
+      RawMessage("t", 0, 3, Some("k3"), good.format(3))).toDS()
+    val res = Ingest.ingestBatch(t, batch, deadLetterDir = Some(dlq))
+    assert(res.appended == 2)
+    assert(res.deadLettered == 2)
+    val dead = spark.read.parquet(dlq)
+    assert(dead.count() == 2)
+    val byOffset = dead.select($"offset", $"error", $"value")
+      .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(byOffset(1L)._2.startsWith("ParseError"))
+    assert(byOffset(2L)._2.startsWith("MissingField") && byOffset(2L)._2.contains("tokens"))
+    assert(byOffset(1L)._3 == "garbage", "original payload must be preserved")
+    // A second batch APPENDS to the DLQ (it is a table, not a topic).
+    Ingest.ingestBatch(t,
+      Seq(RawMessage("t", 0, 9, Some("k9"), "also bad")).toDS(),
+      deadLetterDir = Some(dlq))
+    assert(spark.read.parquet(dlq).count() == 3)
+  }
+}
