@@ -51,15 +51,27 @@ object Bench {
     val t = TokenTable.create(spark, loc)
     val commits = 24
     timed("ns_ingest") {
+      // Concurrent appenders (real ingest is many writers): the CAS
+      // commit protocol auto-rebases append conflicts. Fixed partition
+      // count -> identical file layout at every parallelism level (the
+      // scaling comparison holds the plan constant, varying only
+      // concurrency).
       val per = benchRows / commits
-      (0 until commits).foreach { c =>
-        // fixed partition count -> identical file layout at every
-        // parallelism level (the scaling comparison holds the plan
-        // constant and varies only concurrency)
-        t.append(TokenGen.asTokenRows(TokenGen.generate(
-          spark, per, idOffset = c * per, minLen = 32, maxLen = 160,
-          numPartitions = 32)))
+      val writers = math.max(1, math.min(4, cpus / 2))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fs = (0 until commits).map { c =>
+        scala.concurrent.Future {
+          t.append(TokenGen.asTokenRows(TokenGen.generate(
+            spark, per, idOffset = c * per, minLen = 32, maxLen = 160,
+            numPartitions = 32)))
+        }
       }
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     }
     val bytesIn = t.filesLocal(t.current).map(_.bytes).sum
     // Work-unit size is a function of DATA, not core count, so the plan

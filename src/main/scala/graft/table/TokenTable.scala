@@ -272,7 +272,10 @@ class TokenTable(val location: String, val spark: SparkSession) {
       summary = Map(
         "added-files" -> added.size.toString,
         "added-rows" -> added.map(_.rows).sum.toString,
-        "added-tokens" -> added.map(_.sumNtok).sum.toString))
+        "added-tokens" -> added.map(_.sumNtok).sum.toString),
+      // Appends always rebase cleanly; allow deep retry chains so many
+      // concurrent writers (real ingest) never abort on CAS races.
+      maxAttempts = 64)
   }
 }
 
