@@ -16,6 +16,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(session =>
+      graft.plans.TokenTableResolution(
+        session.asInstanceOf[org.apache.spark.sql.SparkSession]))
     ext.injectFunction((
       new FunctionIdentifier("z_interleave"),
       new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),

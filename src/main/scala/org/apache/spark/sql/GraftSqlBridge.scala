@@ -13,6 +13,14 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from a LogicalPlan (classic `Dataset.ofRows` is
+    * private[sql]) — used to execute plans produced by our resolution
+    * rule in tests without rebuilding the session with extensions.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a temp SQL function backed by a native expression builder,
     * so `spark.sql("... z_interleave(a, b, c) ...")` plans the codegen'd
     * expression directly.
