@@ -60,23 +60,6 @@ object Cluster {
     }
   }
 
-  /** Explicit boundary sampling: uniform row sample of the key column,
-    * sorted on the driver, equi-depth boundaries. `sampleSize` rows max
-    * reach the driver regardless of table size.
-    */
-  def sampleBoundaries(keyed: DataFrame, buckets: Int, totalRows: Long,
-      sampleSize: Int = 200000): Array[Long] = {
-    import keyed.sparkSession.implicits._
-    val fraction = math.min(1.0, sampleSize.toDouble / math.max(1L, totalRows))
-    val sample = keyed.select(col("ckey"))
-      .sample(withReplacement = false, fraction, seed = 42L)
-      .as[Long].collect().sorted
-    if (sample.isEmpty) return Array.empty
-    (1 until buckets)
-      .map(i => sample((i.toLong * sample.length / buckets).toInt.min(sample.length - 1)))
-      .distinct.toArray
-  }
-
   /** bucket = #(boundaries <= key); a linear scan over the broadcast
     * boundary array expressed as a codegen-friendly `aggregate` over an
     * array literal — stays inside whole-stage codegen (no UDF) and
