@@ -63,17 +63,35 @@ class TokenTable(val location: String, val spark: SparkSession) {
       .parquet(paths: _*)
   }
 
-  /** Pruned scan: only data files whose [min,max] stats can contain
-    * rows matching the given doc_id bounds — manifest min/max pruning
-    * (the mechanism MERGE uses to touch only affected files).
+  /** Pruned scan: only data files whose manifest [min,max] stats can
+    * contain matching rows (the mechanism MERGE uses to touch only
+    * affected files; clustering exists to make these prunes selective).
+    * Returns the pruned DataFrame and how many files were skipped.
     */
-  def scanPrunedByDocId(lo: String, hi: String): DataFrame = {
-    val hits = files(current)
-      .filter($"maxDocId" >= lo && $"minDocId" <= hi)
-      .select($"path").as[String].collect()
-    if (hits.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(hits.map(p => s"$location/$p"): _*)
+  def scanPruned(keep: DataFile => Boolean): (DataFrame, Int, Int) = {
+    val all = filesLocal(current)
+    val hits = all.filter(keep)
+    val df =
+      if (hits.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(hits.map(f => s"$location/${f.path}"): _*)
+    (df, hits.size, all.size)
+  }
+
+  def scanPrunedByDocId(lo: String, hi: String): DataFrame =
+    scanPruned(f => f.maxDocId >= lo && f.minDocId <= hi)._1
+      .filter($"doc_id" >= lo && $"doc_id" <= hi)
+
+  /** Source-equality scan with manifest pruning + parquet pushdown. */
+  def scanWhereSource(s: String): (DataFrame, Int, Int) = {
+    val (df, read, total) = scanPruned(f => f.minSource <= s && s <= f.maxSource)
+    (df.filter($"source" === s), read, total)
+  }
+
+  /** Token-length range scan with manifest pruning. */
+  def scanWhereNtok(lo: Int, hi: Int): (DataFrame, Int, Int) = {
+    val (df, read, total) = scanPruned(f => f.maxNtok >= lo && f.minNtok <= hi)
+    (df.filter($"n_tok" >= lo && $"n_tok" <= hi), read, total)
   }
 
   // ---------------------------------------------------------------- write
