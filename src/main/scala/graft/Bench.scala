@@ -94,7 +94,7 @@ object Bench {
         idOffset = benchRows * 10, minLen = 32, maxLen = 160, numPartitions = 32)
       Merge.mergeInto(t, upd.unionByName(ins), "offset", "bench-merge")
     }
-    timed("ns_expire") { Expire.run(t, retainLast = 1) }
+    timed("ns_expire") { Expire.run(t, retainLast = 1, graceMs = 0) }
     // Metadata-cheap scan: sum(n_tok) prunes to one int column.
     val tokens = timed("ns_scan") {
       t.scan().agg(sum(col("n_tok").cast("long"))).head().getLong(0)

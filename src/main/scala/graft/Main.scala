@@ -91,7 +91,8 @@ object Main {
           s"touched=${res.touchedFiles} untouched=${res.untouchedFiles}")
       case "expire" =>
         val t = TokenTable.open(spark, need("table.path"))
-        val res = Expire.run(t, kv.getOrElse("retain", "2").toInt)
+        val res = Expire.run(t, kv.getOrElse("retain", "2").toInt,
+          kv.getOrElse("grace_ms", "3600000").toLong)
         println(s"expired ${res.expiredSnapshots.mkString(",")}; deleted ${res.deletedFiles} files")
       case "scan" =>
         val t = TokenTable.open(spark, need("table.path"))

@@ -149,14 +149,14 @@ object Queries {
     */
   def m7LineageMetrics(spark: SparkSession, dir: String): DataFrame = {
     val t = buildTable(spark, dir, "m7", commits = 8)
-    Compact.run(t, targetBytes = 8L * 1024 * 1024, jobId = "q-m7")
-    graft.lineage.Lineage.metrics(spark, t, "q-m7")
+    val res = Compact.run(t, targetBytes = 8L * 1024 * 1024, jobId = "q-m7")
+    graft.lineage.Lineage.metrics(spark, t, res.execId)
   }
 
   def m4ExpireScan(spark: SparkSession, dir: String): DataFrame = {
     val t = buildTable(spark, dir, "m4", commits = 6)
     Compact.run(t, targetBytes = 8L * 1024 * 1024, jobId = "q-m4")
-    val res = Expire.run(t, retainLast = 1)
+    val res = Expire.run(t, retainLast = 1, graceMs = 0)
     require(res.deletedFiles > 0, "expiry found no orphans after compaction")
     scanProjection(t.scan())
   }

@@ -60,15 +60,23 @@ object Ingest {
     val missing = payloadSchema.fields.map(f =>
       when(!array_contains($"__keys", f.name), lit(f.name))).toSeq
     val missingList = filter(array(missing: _*), c => c.isNotNull)
-    val typeErr = $"__parsed".isNull ||
-      ($"__parsed.tokens".isNull && get_json_object($"value", "$.tokens").isNotNull)
+    // A required field that parsed to null (explicit JSON null OR a type
+    // mismatch that PERMISSIVE from_json nulled out) must be quarantined:
+    // the table schema declares all four fields non-nullable, and a null
+    // n_tok would poison the footer stats downstream.
+    val nullReq = payloadSchema.fields.map(f =>
+      when($"__parsed".getField(f.name).isNull, lit(f.name))).toSeq
+    val nullList = filter(array(nullReq: _*), c => c.isNotNull)
 
     val classified = keyed.withColumn("__error",
       when(nonObject, lit("ParseError: payload is not a JSON object"))
         .when(emptyObject, lit(null.asInstanceOf[String])) // dropped, not an error
         .when(size(missingList) > 0,
           concat(lit("MissingField: "), array_join(missingList, ", ")))
-        .when(typeErr, lit("TypeMismatch: payload does not match schema")))
+        .when($"__parsed".isNull, lit("TypeMismatch: payload does not match schema"))
+        .when(size(nullList) > 0,
+          concat(lit("TypeMismatch: null or mistyped required field: "),
+            array_join(nullList, ", "))))
 
     val valid = classified
       .filter($"__error".isNull && !emptyObject)
@@ -90,8 +98,17 @@ object Ingest {
     * `Option<String>` key handling.
     */
   def dedupFirstWins(df: DataFrame, keyCol: String = "doc_id"): DataFrame = {
-    val byOffset = Window.partitionBy(col("offset")).orderBy(col("offset"))
-    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("offset"))
+    // Offset identity is per (topic, partition): every Kafka partition
+    // starts at offset 0, so a global offset set (what the reference's
+    // `seen_offsets: HashSet<i64>` does, `src/pipeline/mod.rs:44`) would
+    // collapse unrelated records — a recorded reference discrepancy we
+    // deliberately do NOT replicate. Key identity stays global,
+    // matching the reference's `seen_keys`.
+    val byOffset = Window
+      .partitionBy(col("topic"), col("partition"), col("offset"))
+      .orderBy(col("offset"))
+    val byKey = Window.partitionBy(col(keyCol))
+      .orderBy(col("offset"), col("topic"), col("partition"))
     df.withColumn("__ro", row_number().over(byOffset))
       .filter(col("__ro") === 1)
       .drop("__ro")
@@ -104,14 +121,11 @@ object Ingest {
   /** Per-(topic,partition) committed offset watermarks from a snapshot
     * summary — the engine's Kafka-offset-commit analog (X1): data commit
     * carries the watermark, so replaying an already-committed offset
-    * range is a no-op.
+    * range is a no-op. Watermarks inherit through every commit (see
+    * TokenTable.commit) so maintenance ops never re-open the window.
     */
   def watermarks(s: Snapshot): Map[String, Long] =
-    s.summary.getOrElse("watermarks", "").split(';').filter(_.nonEmpty)
-      .map { kv => val Array(k, v) = kv.split('='); k -> v.toLong }.toMap
-
-  private def encodeWatermarks(w: Map[String, Long]): String =
-    w.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+    graft.table.Format.parseWatermarks(s.summary)
 
   case class IngestResult(snapshot: Snapshot, appended: Long, deduped: Long,
       deadLettered: Long, replayFiltered: Long)
@@ -132,15 +146,17 @@ object Ingest {
     val wmExpr: Column = wm.foldLeft(lit(-1L)) { case (acc, (tp, o)) =>
       when(concat_ws("/", $"topic", $"partition") === tp, lit(o)).otherwise(acc)
     }
-    val fresh = msgs.filter($"offset" > wmExpr)
+    // Cache the surviving batch: the pipeline below takes several
+    // actions (counts, DLQ write, watermark agg, data write) and must
+    // not re-read + re-parse the source for each one.
+    val fresh = msgs.filter($"offset" > wmExpr).cache()
     val replayFiltered = msgs.count() - fresh.count()
 
     val (valid, dead) = parse(fresh)
-    val deadCount = deadLetterDir match {
-      case Some(dir) =>
-        dead.write.mode("append").parquet(dir); spark.read.parquet(dir).count()
-      case None => dead.count()
-    }
+    // Count THIS batch's dead letters (the DLQ dir is cumulative).
+    val deadCount = dead.count()
+    if (deadCount > 0) deadLetterDir.foreach(dir =>
+      dead.write.mode("append").parquet(dir))
     val deduped = dedupFirstWins(valid)
     val validCount = valid.count()
     val rows = deduped
@@ -151,20 +167,22 @@ object Ingest {
       .groupBy(concat_ws("/", $"topic", $"partition").as("tp"))
       .agg(max($"offset").as("mx"))
       .as[(String, Long)].collect().toMap
-    val mergedWm = (wm.keySet ++ newWm.keySet).map { k =>
-      k -> math.max(wm.getOrElse(k, -1L), newWm.getOrElse(k, -1L))
-    }.toMap
 
     val added = table.writeDataFiles(rows, sortWithinFilesBy = None)
     val manifest = table.writeManifest(added)
+    // Parent watermarks merge in at commit time (TokenTable.commit),
+    // including against any concurrent commit we rebase onto.
     val snap = table.commit(parent, "ingest",
       addManifests = Seq(manifest),
       keepManifests = parent.map(_.manifests).getOrElse(Nil),
       removedPaths = Set.empty,
       summary = Map(
-        "watermarks" -> encodeWatermarks(mergedWm),
+        graft.table.Format.WatermarksKey ->
+          graft.table.Format.encodeWatermarks(newWm),
         "added-rows" -> added.map(_.rows).sum.toString,
-        "dead-letters" -> deadCount.toString))
+        "dead-letters" -> deadCount.toString),
+      maxAttempts = 64)
+    fresh.unpersist()
     val appended = added.map(_.rows).sum
     IngestResult(snap, appended, validCount - appended, deadCount, replayFiltered)
   }

@@ -31,11 +31,17 @@ object TokenGen {
 
   /** Generate `n` rows with ids in [idOffset, idOffset+n).
     *
-    * @param dupRate  fraction of rows (those with id % 100 < dupRate*100,
-    *                 id >= 100) that repeat the doc_id of the row 100
-    *                 earlier — with *identical* tokens, mirroring the
-    *                 reference's duplicate-message replay fixtures
+    * @param dupRate  fraction of rows (<= 0.5; those with
+    *                 id % 100 < dupRate*100, id >= 100) that repeat the
+    *                 doc_id of a row in the PREVIOUS century's non-dup
+    *                 band (`id - 100 + threshold`) — a target that was
+    *                 emitted as itself, so every dup row forms a real
+    *                 duplicate pair with *identical* tokens, mirroring
+    *                 the reference's duplicate-message replay fixtures
     *                 (`/root/reference/src/pipeline/mod.rs:315-352`).
+    *                 (Pointing at `id - 100` naively would chain through
+    *                 rows that are themselves remapped, collapsing the
+    *                 duplicate rate to ~0.)
     */
   def generate(
       spark: SparkSession,
@@ -45,13 +51,14 @@ object TokenGen {
       maxLen: Int = 128,
       idOffset: Long = 0L,
       numPartitions: Int = 0): DataFrame = {
+    require(dupRate >= 0.0 && dupRate <= 0.5, s"dupRate $dupRate not in [0, 0.5]")
     val base =
       if (numPartitions > 0) spark.range(0L, n, 1L, numPartitions)
       else spark.range(n)
     val dupThreshold = math.round(dupRate * 100).toInt
     val docIndex = when(
       col("id") >= 100L && pmod(col("id"), lit(100L)) < dupThreshold,
-      col("id") - 100L).otherwise(col("id")) + lit(idOffset)
+      col("id") - 100L + dupThreshold).otherwise(col("id")) + lit(idOffset)
     val docId = format_string("doc_%012d", docIndex)
     val len = (pmod(xxhash64(docId, lit("len")), lit((maxLen - minLen + 1).toLong))
       + lit(minLen.toLong)).cast("int")

@@ -74,16 +74,22 @@ object Cluster {
 
   /** Salt factor per bucket from the sampled histogram: buckets whose
     * sample share exceeds 2x the mean get split into ceil(share/mean)
-    * sub-partitions (salt-based skew splitting, north_rule).
+    * sub-partitions (salt-based skew splitting, north_rule). Generic in
+    * the key type so the numeric-curve and doc_id-string paths share one
+    * implementation.
     */
-  def saltFactors(sampleKeys: Array[Long], boundaries: Array[Long],
-      buckets: Int): Map[Int, Int] = {
+  def saltFactors[K](sampleKeys: Array[K], boundaries: Array[K])(
+      implicit ord: Ordering[K]): Map[Int, Int] = {
     if (sampleKeys.isEmpty) return Map.empty
     val counts = new Array[Long](boundaries.length + 1)
     sampleKeys.foreach { k =>
-      var b = java.util.Arrays.binarySearch(boundaries, k)
-      if (b < 0) b = -b - 1 else b = b + 1 // count of boundaries <= k
-      counts(b) += 1
+      // bucket = count of boundaries <= k
+      var lo = 0; var hi = boundaries.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lteq(boundaries(mid), k)) lo = mid + 1 else hi = mid
+      }
+      counts(lo) += 1
     }
     val mean = math.max(1.0, sampleKeys.length.toDouble / counts.length)
     counts.zipWithIndex.collect {
@@ -121,17 +127,7 @@ object Cluster {
         .distinct.toArray
 
     // Skew detection on the same sample (duplicate-heavy key ranges).
-    val counts = new Array[Long](boundaries.length + 1)
-    sampleKeys.foreach { k =>
-      var b = java.util.Arrays.binarySearch(boundaries.asInstanceOf[Array[AnyRef]], k,
-        null.asInstanceOf[java.util.Comparator[AnyRef]])
-      if (b < 0) b = -b - 1 else b = b + 1
-      counts(b) += 1
-    }
-    val mean = math.max(1.0, sampleKeys.length.toDouble / counts.length)
-    val salts = counts.zipWithIndex.collect {
-      case (c, i) if c > 2 * mean => i -> math.ceil(c / mean).toInt
-    }.toMap
+    val salts = saltFactors(sampleKeys, boundaries)
 
     val bucketExpr =
       if (boundaries.isEmpty) lit(0)
@@ -155,7 +151,7 @@ object Cluster {
       .sortWithinPartitions($"doc_id")
       .select("doc_id", "tokens", "n_tok", "source")
 
-    val out = table.writeDataFilesTo(clustered, s"data/$jobId",
+    val out = table.writeDataFilesTo(clustered, s"data/$jobId-v${parent.version}",
       overwrite = true, sortBy = None)
     Lineage.completeTask(table, Lineage.TaskRecord(
       jobId, "cluster-by-docid", all.map(_.path), out,
@@ -211,7 +207,7 @@ object Cluster {
       else (1 until buckets)
         .map(i => sampleKeys((i.toLong * sampleKeys.length / buckets).toInt.min(sampleKeys.length - 1)))
         .distinct.toArray
-    val salts = saltFactors(sampleKeys, boundaries, buckets)
+    val salts = saltFactors(sampleKeys, boundaries)
     val nBuckets = boundaries.length + 1
     val saltExpr = if (salts.isEmpty) lit(0) else {
       val factor = salts.foldLeft(lit(1)) { case (acc, (b, f)) =>
@@ -240,8 +236,10 @@ object Cluster {
       .sortWithinPartitions($"ckey")
       .select("doc_id", "tokens", "n_tok", "source")
 
+    // Version-scoped output dir: re-running a jobId after its commit must
+    // never overwrite files the current snapshot references.
     val out = timing("shuffle+sort+write+stats") {
-      table.writeDataFilesTo(clustered, s"data/$jobId",
+      table.writeDataFilesTo(clustered, s"data/$jobId-v${parent.version}",
         overwrite = true, sortBy = None)
     }
     Lineage.completeTask(table, Lineage.TaskRecord(

@@ -20,7 +20,7 @@ import scala.concurrent.duration.Duration
 object Compact {
 
   case class Result(snapshot: Snapshot, binsRewritten: Int, filesIn: Int,
-      filesOut: Int, bytesIn: Long, resumedTasks: Int)
+      filesOut: Int, bytesIn: Long, resumedTasks: Int, execId: String = "")
 
   /** Greedy first-fit-decreasing. Only files smaller than
     * `smallFileFactor * targetBytes` are candidates; bins hold at most
@@ -53,24 +53,31 @@ object Compact {
       parallelism: Int = 8): Result = {
     val spark = table.spark
     val parent = table.current
+    // Scope the execution to the snapshot it plans against: a re-run
+    // AFTER this job committed sees a new version -> fresh plan + fresh
+    // output dirs (reusing the stale plan would re-list its outputs as
+    // both survivors and new files = duplicated rows; reusing its output
+    // dir would overwrite files the current snapshot references). A
+    // crash BEFORE the commit re-runs at the same version and resumes.
+    val execId = s"$jobId-v${parent.version}"
     val all = table.filesLocal(parent)
     val planned = planBins(all, targetBytes)
     val plan = Lineage.planOrResume(table, Lineage.JobPlan(
-      jobId, "compact", parent.version,
+      execId, "compact", parent.version,
       planned.zipWithIndex.map { case (b, i) => i.toString -> b.map(_.path) }.toMap))
     // Resume against the *persisted* plan (stable task identity).
     val byPath = all.map(f => f.path -> f).toMap
     val tasks = plan.tasks.toSeq.sortBy(_._1.toInt)
 
     if (tasks.isEmpty)
-      return Result(parent, 0, all.size, all.size, 0L, 0)
+      return Result(parent, 0, all.size, all.size, 0L, 0, execId)
 
     var resumed = 0
     val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futures = tasks.map { case (taskId, inputPaths) =>
       Future {
-        Lineage.loadTask(table, jobId, taskId) match {
+        Lineage.loadTask(table, execId, taskId) match {
           case Some(done) =>
             synchronized { resumed += 1 }
             done.outputFiles
@@ -82,10 +89,10 @@ object Compact {
             // zero shuffle. Keep rows clustered by doc_id within the file
             // so min/max doc_id stats stay selective after compaction.
             val out = table.writeDataFilesTo(
-              df.coalesce(1), s"data/$jobId/bin-$taskId",
+              df.coalesce(1), s"data/$execId/bin-$taskId",
               overwrite = true, sortBy = Some("doc_id"))
             Lineage.completeTask(table, Lineage.TaskRecord(
-              jobId, taskId, inputPaths, out,
+              execId, taskId, inputPaths, out,
               rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
               status = "done",
               durationMs = (System.nanoTime() - t0) / 1000000))
@@ -112,6 +119,7 @@ object Compact {
         "resumed-tasks" -> resumed.toString,
         "bytes-in" -> rewrittenPaths.iterator.map(p => byPath.get(p).map(_.bytes).getOrElse(0L)).sum.toString))
     Result(snap, tasks.size, all.size, survivors.size + newFiles.size,
-      rewrittenPaths.iterator.map(p => byPath.get(p).map(_.bytes).getOrElse(0L)).sum, resumed)
+      rewrittenPaths.iterator.map(p => byPath.get(p).map(_.bytes).getOrElse(0L)).sum,
+      resumed, execId)
   }
 }

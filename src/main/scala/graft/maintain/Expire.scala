@@ -62,8 +62,15 @@ object Expire {
 
   /** Expire all but the last `retainLast` snapshots, then GC every file
     * unreachable from the retained set. Returns what was removed.
+    *
+    * @param graceMs files younger than this are never deleted even when
+    *                unreachable — they may belong to a concurrent
+    *                not-yet-committed writer (the format explicitly
+    *                supports concurrent appends via CAS rebase).
+    *                Production default 1h; tests pass 0.
     */
-  def run(table: TokenTable, retainLast: Int): Result = {
+  def run(table: TokenTable, retainLast: Int,
+      graceMs: Long = 3600L * 1000): Result = {
     val spark = table.spark
     import spark.implicits._
     val head = table.currentVersion
@@ -73,7 +80,13 @@ object Expire {
     val expired = allVersions.diff(retained)
 
     val keep = reachable(table, retained)
+    val cutoff = System.currentTimeMillis() - graceMs
     val orphans = listing(table).except(keep).as[String].collect()
+      .filter { rel =>
+        val p = Paths.get(table.location).resolve(rel)
+        try Files.getLastModifiedTime(p).toMillis <= cutoff
+        catch { case _: java.io.IOException => false }
+      }
 
     val root = Paths.get(table.location).toAbsolutePath
     var deleted = 0L

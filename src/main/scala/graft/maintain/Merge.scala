@@ -83,7 +83,8 @@ object Merge {
          |UNION ALL
          |SELECT doc_id, tokens, n_tok, source FROM $sv""".stripMargin)
 
-    val out = table.writeDataFilesTo(merged, s"data/$jobId",
+    // Version-scoped output dir (same rationale as Compact/Cluster).
+    val out = table.writeDataFilesTo(merged, s"data/$jobId-v${parent.version}",
       overwrite = true, sortBy = Some("doc_id"))
     Lineage.completeTask(table, Lineage.TaskRecord(
       jobId, "merge", touched.map(_.path), out,

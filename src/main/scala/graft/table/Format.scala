@@ -118,6 +118,28 @@ object Format {
     }
   }
 
+  /** Per-(topic/partition) offset watermark codec for snapshot
+    * summaries (the table-side Kafka-offset-commit analog, X1).
+    */
+  val WatermarksKey = "watermarks"
+
+  def parseWatermarks(summary: Map[String, String]): Map[String, Long] =
+    summary.getOrElse(WatermarksKey, "").split(';').filter(_.nonEmpty)
+      .map { kv => val Array(k, v) = kv.split('='); k -> v.toLong }.toMap
+
+  def encodeWatermarks(w: Map[String, Long]): String =
+    w.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+
+  /** Max-merge of two watermark maps (used when an append rebases onto a
+    * concurrent commit: neither side's offsets may be lost).
+    */
+  def mergeWatermarks(a: Map[String, String], b: Map[String, String]): Map[String, Long] = {
+    val wa = parseWatermarks(a); val wb = parseWatermarks(b)
+    (wa.keySet ++ wb.keySet).map { k =>
+      k -> math.max(wa.getOrElse(k, -1L), wb.getOrElse(k, -1L))
+    }.toMap
+  }
+
   /** Atomic write of a small marker/JSON file (last-writer-wins is fine;
     * used for lineage task markers where content is deterministic).
     */

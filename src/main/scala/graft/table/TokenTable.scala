@@ -253,13 +253,24 @@ class TokenTable(val location: String, val spark: SparkSession) {
       summary: Map[String, String] = Map.empty,
       maxAttempts: Int = 5): Snapshot = {
     val v = parent.map(_.version + 1).getOrElse(0L)
+    // Watermarks are table state, not commit metadata: every snapshot
+    // inherits its parent's offset watermarks (max-merged with its own),
+    // so maintenance commits and rebased appends never re-open the
+    // replay window (X1 exactly-once).
+    val parentSummary = parent.map(_.summary).getOrElse(Map.empty[String, String])
+    val fullSummary =
+      if (parentSummary.contains(Format.WatermarksKey) ||
+          summary.contains(Format.WatermarksKey))
+        summary + (Format.WatermarksKey ->
+          Format.encodeWatermarks(Format.mergeWatermarks(parentSummary, summary)))
+      else summary
     val snap = Snapshot(
       version = v,
       parentVersion = parent.map(_.version).getOrElse(-1L),
       schemaJson = parent.map(_.schemaJson).getOrElse(TokenTable.tokenSchema.json),
       operation = operation,
       manifests = keepManifests ++ addManifests,
-      summary = summary,
+      summary = fullSummary,
       timestampMs = System.currentTimeMillis())
     if (Format.tryPublish(location, snap)) return snap
     // Lost the race: re-read and decide rebase vs abort.
@@ -272,6 +283,9 @@ class TokenTable(val location: String, val spark: SparkSession) {
           "rewrite commits cannot auto-rebase — re-plan against the new snapshot")
     if (maxAttempts <= 1)
       throw new CommitConflictException(s"$operation: exhausted commit attempts")
+    // The recursive attempt re-merges watermarks against `latest` at
+    // snapshot-construction time, so a rebased append keeps both sides'
+    // offsets.
     commit(Some(latest), operation, addManifests, latest.manifests,
       removedPaths, summary, maxAttempts - 1)
   }

@@ -48,21 +48,33 @@ class IngestSpec extends SparkSpec {
     assert(errs(3L).startsWith("TypeMismatch"))
   }
 
-  test("dedup D1: duplicate offset -> first wins") {
+  test("dedup D1: duplicate offset within a partition -> first wins") {
     val df = Seq(
-      ("doc_a", Seq(1), 1, "web", 5L),
-      ("doc_b", Seq(2), 1, "web", 5L) // same offset, different key
-    ).toDF("doc_id", "tokens", "n_tok", "source", "offset")
+      ("t", 0, "doc_a", Seq(1), 1, "web", 5L),
+      ("t", 0, "doc_b", Seq(2), 1, "web", 5L) // same (topic,partition,offset)
+    ).toDF("topic", "partition", "doc_id", "tokens", "n_tok", "source", "offset")
     val out = Ingest.dedupFirstWins(df)
     assert(out.count() == 1)
   }
 
+  test("dedup D1: same offset in DIFFERENT partitions is not a duplicate") {
+    // Every Kafka partition starts at offset 0 — the reference's global
+    // seen_offsets set would wrongly collapse these (recorded
+    // discrepancy we do not replicate).
+    val df = Seq(
+      ("t", 0, "doc_a", Seq(1), 1, "web", 0L),
+      ("t", 1, "doc_b", Seq(2), 1, "web", 0L),
+      ("u", 0, "doc_c", Seq(3), 1, "web", 0L)
+    ).toDF("topic", "partition", "doc_id", "tokens", "n_tok", "source", "offset")
+    assert(Ingest.dedupFirstWins(df).count() == 3)
+  }
+
   test("dedup D1: duplicate key -> first (lowest offset) wins") {
     val df = Seq(
-      ("doc_a", Seq(9, 9), 2, "web", 7L),
-      ("doc_a", Seq(1), 1, "web", 3L),
-      ("doc_b", Seq(2), 1, "web", 9L)
-    ).toDF("doc_id", "tokens", "n_tok", "source", "offset")
+      ("t", 0, "doc_a", Seq(9, 9), 2, "web", 7L),
+      ("t", 0, "doc_a", Seq(1), 1, "web", 3L),
+      ("t", 0, "doc_b", Seq(2), 1, "web", 9L)
+    ).toDF("topic", "partition", "doc_id", "tokens", "n_tok", "source", "offset")
     val out = Ingest.dedupFirstWins(df).select($"doc_id", $"offset")
       .as[(String, Long)].collect().toMap
     assert(out == Map("doc_a" -> 3L, "doc_b" -> 9L))
@@ -89,6 +101,57 @@ class IngestSpec extends SparkSpec {
     assert(t.scan().count() == 150)
   }
 
+  test("watermarks survive maintenance commits and concurrent-append rebases") {
+    val dir = tmpDir("tbl")
+    val t = TokenTable.create(spark, dir)
+    val batch0 = (0L until 50L).map(i =>
+      RawMessage("t", 0, i, Some(s"p0_$i"), good.format(s"p0_$i"))).toDS()
+    Ingest.ingestBatch(t, batch0)
+
+    // A maintenance commit in between must inherit the watermarks.
+    graft.maintain.Compact.run(t, targetBytes = 8L * 1024 * 1024, jobId = "wm-c")
+    assert(Ingest.watermarks(t.current)("t/0") == 49L,
+      "maintenance commits must carry watermarks forward")
+
+    // Two concurrent ingests on different partitions: the rebase loser's
+    // commit must keep the winner's watermark.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fs = Seq(1, 2).map { p =>
+      Future {
+        val t2 = TokenTable.open(spark, dir)
+        Ingest.ingestBatch(t2, (0L until 30L).map(i =>
+          RawMessage("t", p, i, Some(s"p${p}_$i"), good.format(s"p${p}_$i"))).toDS())
+      }
+    }
+    Await.result(Future.sequence(fs), Duration.Inf)
+    pool.shutdown()
+    val wm = Ingest.watermarks(t.current)
+    assert(wm("t/0") == 49L && wm("t/1") == 29L && wm("t/2") == 29L,
+      s"all partitions' watermarks must survive the race, got $wm")
+
+    // Replay of every partition is exactly-once.
+    val replay = Ingest.ingestBatch(t, (
+      (0L until 50L).map(i => RawMessage("t", 0, i, Some(s"p0_$i"), good.format(s"p0_$i"))) ++
+      (0L until 30L).map(i => RawMessage("t", 1, i, Some(s"p1_$i"), good.format(s"p1_$i")))).toDS())
+    assert(replay.appended == 0 && replay.replayFiltered == 80)
+    assert(t.scan().count() == 110)
+  }
+
+  test("parse: explicit null required field is quarantined (non-null schema)") {
+    val (valid, dead) = Ingest.parse(Seq(
+      msg(0, "a", """{"doc_id":"x","tokens":[1],"n_tok":null,"source":"web"}"""),
+      msg(1, "b", """{"doc_id":null,"tokens":[1],"n_tok":1,"source":"web"}"""),
+      msg(2, "c", good.format("doc_ok"))).toDS())
+    assert(valid.count() == 1)
+    val errs = dead.collect().map(d => d.offset -> d.error).toMap
+    assert(errs(0L).contains("n_tok"))
+    assert(errs(1L).contains("doc_id"))
+  }
+
   test("generator: tokens are a pure function of doc_id (duplicates byte-equal)") {
     val df = TokenGen.generate(spark, 300, dupRate = 0.1)
     import org.apache.spark.sql.functions._
@@ -96,7 +159,10 @@ class IngestSpec extends SparkSpec {
       .agg(countDistinct(xxhash64($"tokens")).as("variants"), count(lit(1)).as("n"))
     assert(dups.filter($"variants" =!= 1).count() == 0,
       "same doc_id must always carry identical tokens")
-    assert(dups.filter($"n" > 1).count() > 0, "dupRate must produce duplicates")
+    // ids 100..299 with id%100 < 10 are dups -> 20 duplicated doc_ids
+    // (a real dupRate fraction, not a collapsed chain).
+    assert(dups.filter($"n" > 1).count() == 20,
+      "dupRate must produce the documented duplicate fraction")
     // n_tok always equals the token array length.
     assert(df.filter(size($"tokens") =!= $"n_tok").count() == 0)
   }

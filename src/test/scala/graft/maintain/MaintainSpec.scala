@@ -52,26 +52,35 @@ class MaintainSpec extends SparkSpec {
     val t = smallFileTable()
     val before = checksum(t.scan())
     val jobId = "job-compact-resume"
-    // Simulate a crash: run the planning + exactly one task by hand.
+    // Simulate a crash: run the planning + exactly one task by hand,
+    // under the same version-scoped execution id Compact.run derives.
     val parent = t.current
+    val execId = s"$jobId-v${parent.version}"
     val binBytes = 128L * 1024
     val bins = Compact.planBins(t.filesLocal(parent), binBytes)
     assert(bins.size >= 2, "need >=2 bins for a meaningful resume test")
-    val plan = Lineage.planOrResume(t, Lineage.JobPlan(jobId, "compact",
+    val plan = Lineage.planOrResume(t, Lineage.JobPlan(execId, "compact",
       parent.version, bins.zipWithIndex.map { case (b, i) => i.toString -> b.map(_.path) }.toMap))
     val firstTask = plan.tasks.keys.min
     val in = plan.tasks(firstTask).map(p => s"${t.location}/$p")
     val out = t.writeDataFilesTo(spark.read.schema(t.schema).parquet(in: _*).coalesce(1),
-      s"data/$jobId/bin-$firstTask", overwrite = true, sortBy = Some("doc_id"))
-    Lineage.completeTask(t, Lineage.TaskRecord(jobId, firstTask, plan.tasks(firstTask),
+      s"data/$execId/bin-$firstTask", overwrite = true, sortBy = Some("doc_id"))
+    Lineage.completeTask(t, Lineage.TaskRecord(execId, firstTask, plan.tasks(firstTask),
       out, out.map(_.rows).sum, out.map(_.sumNtok).sum, "done", 1L))
     // "Restart": the job re-runs; the completed task must be reused.
     val res = Compact.run(t, binBytes, jobId)
     assert(res.resumedTasks == 1, s"expected 1 resumed task, got ${res.resumedTasks}")
     assert(checksum(t.scan()) == before)
     // Metrics surface per-task lineage.
-    val m = Lineage.metrics(spark, t, jobId)
+    val m = Lineage.metrics(spark, t, execId)
     assert(m.count() == bins.size.toLong)
+
+    // Post-commit re-run with the SAME jobId: the stale plan must NOT be
+    // reused (it would double-count its own outputs); the new execution
+    // sees the compacted table and is a no-op.
+    val rerun = Compact.run(t, binBytes, jobId)
+    assert(rerun.resumedTasks == 0, "stale plan must not resume after commit")
+    assert(checksum(t.scan()) == before, "post-commit re-run must not duplicate rows")
   }
 
   test("zorder clustering preserves state and tightens source locality") {
@@ -146,7 +155,7 @@ class MaintainSpec extends SparkSpec {
       finally st.close()
     }
     val filesOnDiskBefore = parquetCount
-    val res = Expire.run(t, retainLast = 1)
+    val res = Expire.run(t, retainLast = 1, graceMs = 0)
     assert(res.expiredSnapshots.nonEmpty)
     assert(res.deletedFiles > 0)
     assert(parquetCount < filesOnDiskBefore)
