@@ -54,12 +54,14 @@ object Main {
         val commits = kv.getOrElse("commits", "1").toInt
         val dup = kv.getOrElse("dup_rate", "0.0").toDouble
         val off = kv.getOrElse("offset", "0").toLong
-        val per = rows / commits
+        // Commit boundaries from i*rows/commits so the remainder is
+        // spread across commits and every requested row is appended.
+        val cuts = (0 to commits).map(i => i.toLong * rows / commits)
         (0 until commits).foreach { c =>
           t.append(TokenGen.asTokenRows(TokenGen.generate(
-            spark, per, dupRate = dup, idOffset = off + c * per)))
+            spark, cuts(c + 1) - cuts(c), dupRate = dup, idOffset = off + cuts(c))))
         }
-        println(s"appended $rows rows in $commits commits -> v${t.currentVersion}")
+        println(s"appended ${cuts.last} rows in $commits commits -> v${t.currentVersion}")
       case "compact" =>
         val t = TokenTable.open(spark, need("table.path"))
         val res = Compact.run(t,

@@ -144,14 +144,29 @@ object Queries {
     scanProjection(t.scan())
   }
 
-  /** M7 lineage metrics after a compaction job — per-task rows/tokens.
-    * Not SQL-expressible (depends on bin planning), so rows-only.
+  /** M7 lineage metrics after a compaction job. The per-task breakdown
+    * depends on bin planning (spec-tested in MaintainSpec), but the
+    * lineage INVARIANT is oracle-checkable: with a target far above any
+    * file size every input file lands in a bin, so the task records'
+    * row/token sums must equal the table's own totals — i.e. the direct
+    * tokenization of `documents`. A mismatch means lineage lost or
+    * double-counted a task.
     */
   def m7LineageMetrics(spark: SparkSession, dir: String): DataFrame = {
     val t = buildTable(spark, dir, "m7", commits = 8)
-    val res = Compact.run(t, targetBytes = 8L * 1024 * 1024, jobId = "q-m7")
+    val res = Compact.run(t, targetBytes = 1L << 30, jobId = "q-m7")
+    require(res.binsRewritten > 0, "compaction planned no bins")
     graft.lineage.Lineage.metrics(spark, t, res.execId)
+      .filter(col("status") === "done")
+      .agg(
+        sum(col("rows")).as("rows_total"),
+        sum(col("token_count")).as("tokens_total"))
   }
+
+  val m7Sql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS rows_total,
+      |       CAST(coalesce(sum(len(regexp_extract_all(text, '\S+'))), 0) AS BIGINT) AS tokens_total
+      |FROM documents""".stripMargin
 
   def m4ExpireScan(spark: SparkSession, dir: String): DataFrame = {
     val t = buildTable(spark, dir, "m4", commits = 6)
@@ -205,6 +220,81 @@ object Queries {
       |       count(*) AS batch_rows,
       |       min(event_id) AS first_offset, max(event_id) AS last_offset
       |FROM events GROUP BY 1""".stripMargin
+
+  /** P1b generic typed payload parse (TypedParse): payloads with date /
+    * RFC3339-timestamp / array / map / string fields plus seeded error
+    * rows are built deterministically from `events.event_id`, parsed
+    * against an arbitrary StructType, and emitted as valid+dead-letter
+    * union — so the DuckDB oracle verifies BOTH the full reference type
+    * matrix (`/root/reference/src/utils/mod.rs:45-118`) and the S2
+    * quarantine taxonomy end-to-end:
+    *  - event_id%10==3 -> field `d` missing      -> MissingField: d
+    *  - event_id%10==7 -> `d` not a date         -> TypeMismatch: d
+    *  - event_id%10==5 -> explicit null `s`      -> valid, s IS NULL
+    */
+  def p1TypedParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val eid = col("event_id")
+    val dStr = format_string("\"2024-01-%02d\"", eid % 28 + 1)
+    val d = when(eid % 10 === 7, lit("\"not-a-date\""))
+      .otherwise(dStr)
+    val ts = format_string("\"2024-03-05T12:34:%02d.%06dZ\"", eid % 60, eid % 1000000)
+    val xs = format_string("[%d,%d,%d]", eid % 7, eid % 11, eid % 13)
+    val m = format_string("{\"a\":%d}", eid % 17)
+    val s = when(eid % 10 === 5, lit("null"))
+      .otherwise(format_string("\"ev-%d\"", eid))
+    val payload = when(eid % 10 === 3,
+        format_string("""{"ts":%s,"xs":%s,"m":%s,"s":%s}""", ts, xs, m, s))
+      .otherwise(
+        format_string("""{"d":%s,"ts":%s,"xs":%s,"m":%s,"s":%s}""", d, ts, xs, m, s))
+    val msgs = spark.read.parquet(s"$dir/events.parquet")
+      .select(lit("e").as("topic"), lit(0).as("partition"),
+        eid.as("offset"), lit(null.asInstanceOf[String]).as("key"),
+        payload.as("value"))
+      .as[graft.ingest.RawMessage]
+    val schema = StructType(Seq(
+      StructField("d", DateType),
+      StructField("ts", TimestampType),
+      StructField("xs", ArrayType(LongType)),
+      StructField("m", MapType(StringType, LongType)),
+      StructField("s", StringType)))
+    val (valid, dead) = graft.ingest.TypedParse.parse(msgs, schema)
+    valid.select(
+        col("offset").as("event_id"),
+        lit(null.asInstanceOf[String]).as("err"),
+        col("d").cast("string").as("d_str"),
+        unix_micros(col("ts")).as("ts_us"),
+        aggregate(col("xs"), lit(0L), (a, x) => a + x).as("xs_sum"),
+        element_at(col("m"), "a").as("m_a"),
+        col("s"))
+      .unionByName(dead.select(
+        col("offset").as("event_id"),
+        col("error").as("err"),
+        lit(null.asInstanceOf[String]).as("d_str"),
+        lit(null).cast("long").as("ts_us"),
+        lit(null).cast("long").as("xs_sum"),
+        lit(null).cast("long").as("m_a"),
+        lit(null.asInstanceOf[String]).as("s")))
+  }
+
+  val p1TypedSql: String =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 10 = 3 THEN 'MissingField: d'
+      |       WHEN event_id % 10 = 7 THEN 'TypeMismatch: d'
+      |       ELSE NULL END AS err,
+      |  CASE WHEN event_id % 10 IN (3, 7) THEN NULL
+      |       ELSE printf('2024-01-%02d', event_id % 28 + 1) END AS d_str,
+      |  CASE WHEN event_id % 10 IN (3, 7) THEN NULL
+      |       ELSE epoch_us(TIMESTAMP '2024-03-05 12:34:00')
+      |            + (event_id % 60) * 1000000 + event_id % 1000000 END AS ts_us,
+      |  CASE WHEN event_id % 10 IN (3, 7) THEN NULL
+      |       ELSE event_id % 7 + event_id % 11 + event_id % 13 END AS xs_sum,
+      |  CASE WHEN event_id % 10 IN (3, 7) THEN NULL
+      |       ELSE event_id % 17 END AS m_a,
+      |  CASE WHEN event_id % 10 IN (3, 5, 7) THEN NULL
+      |       ELSE 'ev-' || event_id END AS s
+      |FROM events""".stripMargin
 
   /** P1 JSON parse + projection (the reference's payload path). */
   def p1ParseProject(spark: SparkSession, dir: String): DataFrame =

@@ -31,6 +31,7 @@ object SparkEntry {
     "d2_sort_limit" -> ((s, d) => Queries.d2SortLimit(s, d)),
     "t1_batch_trigger" -> ((s, d) => Queries.t1BatchTrigger(s, d)),
     "p1_parse_project" -> ((s, d) => Queries.p1ParseProject(s, d)),
+    "p1_typed_parse" -> ((s, d) => Queries.p1TypedParse(s, d)),
     "m3_stats_agg" -> ((s, d) => Queries.m3StatsAgg(s, d)),
     "m4_orphan_antijoin" -> ((s, d) => Queries.m4OrphanAntiJoin(s, d)),
     // Training-data pipeline operators
@@ -38,6 +39,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => ops.Dedup.exact(ops.Dedup.augmented(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => ops.Dedup.minhashLsh(ops.Dedup.augmented(s, d))),
     "dedup_simhash" -> ((s, d) => ops.Dedup.simhashDups(ops.Dedup.augmented(s, d))),
+    "dedup_simhash_hamming" -> ((s, d) => ops.Dedup.simhashHamming(ops.Dedup.augmented(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => ops.Dedup.ngramJaccard(ops.Dedup.augmented(s, d))),
     "sim_bruteforce_topk" -> ((s, d) =>
       ops.Similarity.bruteForceTopK(s.read.parquet(s"$d/embeddings.parquet"))),
@@ -58,21 +60,23 @@ object SparkEntry {
     "m6_merge_scan" -> Queries.m6MergeSql,
     "m4_expire_scan" -> Queries.tokenizedDocsSql,
     "m2_docid_cluster_scan" -> Queries.tokenizedDocsSql,
-    // m7_lineage_metrics: depends on bin planning -> rows-only check.
+    "m7_lineage_metrics" -> Queries.m7Sql,
     "d1_dedup_firstwins" -> Queries.d1Sql,
     "d2_sort_limit" -> Queries.d2Sql,
     "t1_batch_trigger" -> Queries.t1Sql,
     "p1_parse_project" -> Queries.p1Sql,
+    "p1_typed_parse" -> Queries.p1TypedSql,
     "m3_stats_agg" -> Queries.m3Sql,
     "m4_orphan_antijoin" -> Queries.m4Sql,
     "text_analyze" -> ops.TextOps.analyzeSql,
     "dedup_exact" -> ops.Dedup.exactSql,
     "dedup_minhash_lsh" -> ops.Dedup.minhashSql,
     "dedup_simhash" -> ops.Dedup.simhashSql,
+    "dedup_simhash_hamming" -> ops.Dedup.simhashHammingSql,
     "dedup_ngram_jaccard" -> ops.Dedup.ngramJaccardSql,
     "sim_bruteforce_topk" -> ops.Similarity.bruteForceSql,
+    "sim_lsh_ann" -> ops.Similarity.lshTopKSql(),
+    "dedup_embedding" -> ops.Similarity.embeddingDupsSql(),
     "multimodal_features" -> ops.Multimodal.featureSummarySql,
-    // sim_lsh_ann, dedup_embedding: approximate/row-count-only checks —
-    // recall vs brute force is asserted in OpsSpec instead.
   )
 }

@@ -63,9 +63,15 @@ object Ingest {
     // A required field that parsed to null (explicit JSON null OR a type
     // mismatch that PERMISSIVE from_json nulled out) must be quarantined:
     // the table schema declares all four fields non-nullable, and a null
-    // n_tok would poison the footer stats downstream.
+    // n_tok would poison the footer stats downstream. Same for null
+    // ELEMENTS inside tokens — from_json's ArrayType admits them, but
+    // the table schema declares containsNull=false, so letting
+    // [1,null,2] through would append data that violates the declared
+    // schema (null-poisoned aggregates / reader errors).
     val nullReq = payloadSchema.fields.map(f =>
-      when($"__parsed".getField(f.name).isNull, lit(f.name))).toSeq
+      when($"__parsed".getField(f.name).isNull, lit(f.name))).toSeq :+
+      when($"__parsed".getField("tokens").isNotNull &&
+        exists($"__parsed".getField("tokens"), e => e.isNull), lit("tokens"))
     val nullList = filter(array(nullReq: _*), c => c.isNotNull)
 
     val classified = keyed.withColumn("__error",
@@ -104,9 +110,16 @@ object Ingest {
     // collapse unrelated records — a recorded reference discrepancy we
     // deliberately do NOT replicate. Key identity stays global,
     // matching the reference's `seen_keys`.
+    //
+    // The tie-break among same-offset records with DIFFERENT payloads
+    // must be payload-derived: ordering by the partition-constant
+    // offset would let row_number() pick an arbitrary winner, so two
+    // runs could keep different rows.
+    val payloadCols = df.columns
+      .filterNot(Set("topic", "partition", "offset").contains).map(col).toSeq
     val byOffset = Window
       .partitionBy(col("topic"), col("partition"), col("offset"))
-      .orderBy(col("offset"))
+      .orderBy(xxhash64(payloadCols: _*))
     val byKey = Window.partitionBy(col(keyCol))
       .orderBy(col("offset"), col("topic"), col("partition"))
     df.withColumn("__ro", row_number().over(byOffset))
@@ -143,35 +156,71 @@ object Ingest {
     val wm = parent.map(watermarks).getOrElse(Map.empty)
 
     // Replay filter: drop offsets at or below the committed watermark.
-    val wmExpr: Column = wm.foldLeft(lit(-1L)) { case (acc, (tp, o)) =>
-      when(concat_ws("/", $"topic", $"partition") === tp, lit(o)).otherwise(acc)
-    }
+    // A broadcast left-join against the (small) watermark table — NOT a
+    // per-partition when()-chain, whose expression tree is
+    // O(#topic-partitions) and collapses codegen at a few thousand
+    // partitions.
+    val unfiltered = msgs.withColumn("__tp", concat_ws("/", $"topic", $"partition"))
+    val filtered =
+      if (wm.isEmpty) unfiltered
+      else {
+        val wmDf = wm.toSeq.toDF("__tp", "__wm")
+        unfiltered.join(broadcast(wmDf), Seq("__tp"), "left")
+          .filter($"offset" > coalesce($"__wm", lit(Long.MinValue)))
+          .drop("__wm")
+      }
     // Cache the surviving batch: the pipeline below takes several
     // actions (counts, DLQ write, watermark agg, data write) and must
     // not re-read + re-parse the source for each one.
-    val fresh = msgs.filter($"offset" > wmExpr).cache()
+    val fresh = filtered.drop("__tp")
+      .as[RawMessage].cache()
     val replayFiltered = msgs.count() - fresh.count()
+
+    // This batch's per-partition offset ranges (max advances the
+    // watermark; min feeds the concurrent-writer overlap guard below).
+    val ranges = fresh
+      .groupBy(concat_ws("/", $"topic", $"partition").as("tp"))
+      .agg(min($"offset").as("mn"), max($"offset").as("mx"))
+      .as[(String, Long, Long)].collect()
+    val newWm = ranges.map { case (tp, _, mx) => tp -> mx }.toMap
+    val batchMin = ranges.map { case (tp, mn, _) => tp -> mn }.toMap
 
     val (valid, dead) = parse(fresh)
     // Count THIS batch's dead letters (the DLQ dir is cumulative).
     val deadCount = dead.count()
-    if (deadCount > 0) deadLetterDir.foreach(dir =>
-      dead.write.mode("append").parquet(dir))
+    if (deadCount > 0) deadLetterDir.foreach { dir =>
+      // Deterministic per-batch subdirectory + overwrite: a crash
+      // between this write and the snapshot commit leaves the watermark
+      // unadvanced, so the retried batch re-writes the SAME path instead
+      // of appending duplicate dead letters. Read the DLQ dir with
+      // recursiveFileLookup=true.
+      val tag = java.lang.Long.toHexString(
+        ranges.sortBy(_._1).mkString(";").hashCode.toLong & 0xffffffffL)
+      dead.write.mode("overwrite").parquet(s"$dir/batch-$tag")
+    }
     val deduped = dedupFirstWins(valid)
     val validCount = valid.count()
     val rows = deduped
       .sortWithinPartitions($"offset") // D2: offset order within files
       .select("doc_id", "tokens", "n_tok", "source")
 
-    val newWm = fresh
-      .groupBy(concat_ws("/", $"topic", $"partition").as("tp"))
-      .agg(max($"offset").as("mx"))
-      .as[(String, Long)].collect().toMap
-
     val added = table.writeDataFiles(rows, sortWithinFilesBy = None)
     val manifest = table.writeManifest(added)
     // Parent watermarks merge in at commit time (TokenTable.commit),
-    // including against any concurrent commit we rebase onto.
+    // including against any concurrent commit we rebase onto. The
+    // rebase guard closes the exactly-once hole for CONCURRENT
+    // same-partition writers: both read the same parent watermark, both
+    // pass the replay filter — so on rebase, abort if the rebased-onto
+    // snapshot already covers any offset this batch appends.
+    val guard: Snapshot => Unit = latest => {
+      val lw = watermarks(latest)
+      val overlap = batchMin.collect {
+        case (tp, mn) if lw.get(tp).exists(_ >= mn) => tp
+      }
+      if (overlap.nonEmpty) throw new graft.table.CommitConflictException(
+        s"ingest rebase would double-append offsets already committed by a " +
+          s"concurrent writer for partitions ${overlap.mkString(", ")}")
+    }
     val snap = table.commit(parent, "ingest",
       addManifests = Seq(manifest),
       keepManifests = parent.map(_.manifests).getOrElse(Nil),
@@ -181,7 +230,8 @@ object Ingest {
           graft.table.Format.encodeWatermarks(newWm),
         "added-rows" -> added.map(_.rows).sum.toString,
         "dead-letters" -> deadCount.toString),
-      maxAttempts = 64)
+      maxAttempts = 64,
+      rebaseGuard = Some(guard))
     fresh.unpersist()
     val appended = added.map(_.rows).sum
     IngestResult(snap, appended, validCount - appended, deadCount, replayFiltered)

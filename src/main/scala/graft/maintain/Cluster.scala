@@ -1,6 +1,6 @@
 package graft.maintain
 
-import graft.functions.CurveKeys
+import graft.functions.{CurveKeys, Search, SearchOps}
 import graft.lineage.Lineage
 import graft.table.{Snapshot, TokenTable}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
@@ -60,17 +60,15 @@ object Cluster {
     }
   }
 
-  /** bucket = #(boundaries <= key); a linear scan over the broadcast
-    * boundary array expressed as a codegen-friendly `aggregate` over an
-    * array literal — stays inside whole-stage codegen (no UDF) and
-    * boundary counts are small (<= a few thousand).
+  /** bucket = #(boundaries <= key) via the native binary-search
+    * expression ([[graft.functions.BucketOfLong]]) — O(log B) per row
+    * inside whole-stage codegen, so 10^3+ boundary counts cost the same
+    * projection the 10-boundary case does (the previous linear
+    * `aggregate`-over-literal scan was O(B) per row).
     */
   def bucketCol(boundaries: Array[Long]): Column =
     if (boundaries.isEmpty) lit(0)
-    else aggregate(
-      lit(boundaries),
-      lit(0),
-      (acc, b) => acc + when(col("ckey") >= b, 1).otherwise(0))
+    else SearchOps.bucketOf(col("ckey"), boundaries)
 
   /** Salt factor per bucket from the sampled histogram: buckets whose
     * sample share exceeds 2x the mean get split into ceil(share/mean)
@@ -117,22 +115,25 @@ object Cluster {
     val buckets = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
     val fraction = math.min(1.0, 200000.0 / math.max(1L, totalRows))
+    // Sort with Spark's UTF-8 binary string order, NOT Java's UTF-16
+    // order — they disagree on supplementary-plane characters, and the
+    // executor-side bucket comparison is UTF-8.
     val sampleKeys = table.scan().select($"doc_id")
       .sample(withReplacement = false, fraction, seed = 42L)
-      .as[String].collect().sorted
+      .as[String].collect().sorted(Search.utf8Ordering)
     val boundaries: Array[String] =
       if (sampleKeys.isEmpty) Array.empty
       else (1 until buckets)
         .map(i => sampleKeys((i.toLong * sampleKeys.length / buckets).toInt.min(sampleKeys.length - 1)))
         .distinct.toArray
 
-    // Skew detection on the same sample (duplicate-heavy key ranges).
-    val salts = saltFactors(sampleKeys, boundaries)
+    // Skew detection on the same sample (duplicate-heavy key ranges),
+    // under the same UTF-8 ordering.
+    val salts = saltFactors(sampleKeys, boundaries)(Search.utf8Ordering)
 
     val bucketExpr =
       if (boundaries.isEmpty) lit(0)
-      else aggregate(lit(boundaries), lit(0),
-        (acc, b) => acc + when(col("doc_id") >= b, 1).otherwise(0))
+      else SearchOps.bucketOfStr(col("doc_id"), boundaries)
     val saltExpr = if (salts.isEmpty) lit(0) else {
       val factor = salts.foldLeft(lit(1)) { case (acc, (b, f)) =>
         when(col("bucket") === b, lit(f)).otherwise(acc)

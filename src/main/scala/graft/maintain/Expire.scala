@@ -9,9 +9,13 @@ import scala.jdk.CollectionConverters._
   *
   * Reachability is a *set operation over file inventories*, kept
   * distributed (Dataset `except` = anti-join) because at 10^12-sequence
-  * scale both the listing and the manifests are big data. Deletion only
-  * ever touches files proven unreachable from every retained snapshot,
-  * so a concurrent reader of a retained snapshot never loses a file.
+  * scale both the listing and the manifests are big data. The listing
+  * itself fans out one walk task per first-level directory (executors
+  * touch the 10^6 files; the driver only enumerates job dirs), and
+  * deletes run inside `mapPartitions` on the orphan set — no driver-side
+  * per-file loop anywhere. Deletion only ever touches files proven
+  * unreachable from every retained snapshot, so a concurrent reader of
+  * a retained snapshot never loses a file.
   */
 object Expire {
 
@@ -35,29 +39,69 @@ object Expire {
     dataPaths.union(manifestDirs.toDS())
   }
 
+  /** Walk one table-relative subtree on an executor: either the data
+    * files (regular *.parquet) or the manifest dirs under it. Static so
+    * the task closure serializes cleanly.
+    */
+  def walkUnit(root: String, sub: String, dirsOnly: Boolean): Seq[String] = {
+    val rootP = Paths.get(root)
+    val p = rootP.resolve(sub)
+    if (!Files.isDirectory(p)) return Nil
+    val st = Files.walk(p)
+    try {
+      st.iterator().asScala
+        .filter(q =>
+          if (dirsOnly) Files.isDirectory(q) && q.getFileName.toString.startsWith("manifest-")
+          else Files.isRegularFile(q) && q.getFileName.toString.endsWith(".parquet"))
+        .map(q => rootP.relativize(q).toString)
+        .toSeq
+    } finally st.close()
+  }
+
   /** All table-relative candidate paths currently on disk (data files +
-    * manifest dirs). Listing is materialized as a Dataset so the GC
-    * `except` stays a Spark anti-join.
+    * manifest dirs), as a Dataset: the driver enumerates only the
+    * first-level units (job/commit dirs — O(#jobs)); executors walk
+    * them, so a 10^6-file listing is a parallel scan, not a driver
+    * stall.
     */
   def listing(table: TokenTable): Dataset[String] = {
     val spark = table.spark
     import spark.implicits._
     val root = Paths.get(table.location).toAbsolutePath
-    def walk(sub: String, dirsOnly: Boolean): Seq[String] = {
-      val p = root.resolve(sub)
-      if (!Files.isDirectory(p)) return Nil
-      val st = Files.walk(p)
-      try {
-        st.iterator().asScala
-          .filter(q =>
-            if (dirsOnly) Files.isDirectory(q) && q.getFileName.toString.startsWith("manifest-")
-            else Files.isRegularFile(q) && q.getFileName.toString.endsWith(".parquet"))
-          .map(q => root.relativize(q).toString)
-          .toSeq
-      } finally st.close()
-    }
-    (walk(Format.DataDir, dirsOnly = false) ++
-      walk(Format.Metadata, dirsOnly = true)).toDS()
+    def firstLevel(sub: String): Seq[String] =
+      if (!Files.isDirectory(root.resolve(sub))) Nil
+      else {
+        val st = Files.list(root.resolve(sub))
+        try st.iterator().asScala.map(p => root.relativize(p).toString).toSeq
+        finally st.close()
+      }
+    // (unit, dirsOnly): data units list parquet files; the metadata dir
+    // lists manifest dirs.
+    val units = firstLevel(Format.DataDir).map(u => (u, false)) :+
+      ((Format.Metadata, true))
+    val rootStr = root.toString
+    val par = math.max(1, math.min(units.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(units)
+      .repartition(par)
+      .flatMap { case (sub, dirsOnly) => walkUnit(rootStr, sub, dirsOnly) }
+  }
+
+  /** Delete one orphan if it is older than the cutoff; directories
+    * (manifest dirs) are removed recursively. Returns whether a delete
+    * happened. Executor-side.
+    */
+  def deleteIfStale(root: String, rel: String, cutoffMs: Long): Boolean = {
+    val p = Paths.get(root).resolve(rel)
+    val stale =
+      try Files.getLastModifiedTime(p).toMillis <= cutoffMs
+      catch { case _: java.io.IOException => false }
+    if (!stale) return false
+    if (Files.isDirectory(p)) {
+      val st = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      try st.iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally st.close()
+      true
+    } else Files.deleteIfExists(p)
   }
 
   /** Expire all but the last `retainLast` snapshots, then GC every file
@@ -81,27 +125,18 @@ object Expire {
 
     val keep = reachable(table, retained)
     val cutoff = System.currentTimeMillis() - graceMs
-    val orphans = listing(table).except(keep).as[String].collect()
-      .filter { rel =>
-        val p = Paths.get(table.location).resolve(rel)
-        try Files.getLastModifiedTime(p).toMillis <= cutoff
-        catch { case _: java.io.IOException => false }
-      }
+    val rootStr = Paths.get(table.location).toAbsolutePath.toString
+    // except = distributed anti-join; deletes fan out per partition. A
+    // path is orphaned only if no retained manifest references it and it
+    // is not inside a retained manifest dir.
+    val deleted = listing(table).except(keep)
+      .mapPartitions { it =>
+        var n = 0L
+        it.foreach(rel => if (deleteIfStale(rootStr, rel, cutoff)) n += 1)
+        Iterator.single(n)
+      }.collect().sum
 
-    val root = Paths.get(table.location).toAbsolutePath
-    var deleted = 0L
-    orphans.foreach { rel =>
-      // A data file is orphaned only if no retained manifest references
-      // it AND it is not inside a retained manifest dir.
-      val p = root.resolve(rel)
-      if (Files.isDirectory(p)) {
-        val st = Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        try st.iterator().asScala.foreach(Files.deleteIfExists(_))
-        finally st.close()
-        deleted += 1
-      } else if (Files.deleteIfExists(p)) deleted += 1
-    }
-    // Drop now-empty data dirs + expired snapshot JSONs.
+    // Expired snapshot JSONs: O(#snapshots), metadata-only.
     expired.foreach(v => Files.deleteIfExists(Format.versionFile(table.location, v)))
     Result(expired, deleted)
   }

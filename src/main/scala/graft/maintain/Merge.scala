@@ -1,9 +1,11 @@
 package graft.maintain
 
+import graft.functions.{Search, SearchOps}
 import graft.lineage.Lineage
 import graft.table.{DataFile, Snapshot, TokenTable}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** MERGE INTO dedup-upsert keyed on `doc_id` (north-star M6), compiled
   * through Spark SQL over temp views.
@@ -40,6 +42,54 @@ object Merge {
       .drop("__rn")
   }
 
+  /** File pruning via manifest min/max stats (M3 pays off here) —
+    * WITHOUT a join: a non-equi `min<=k<=max` join has no equi-key, so
+    * Spark plans BroadcastNestedLoopJoin = O(#files x #source-keys) —
+    * 10^12 comparisons at 10^6 files x 10^6 keys. Instead:
+    *
+    *  1. The sorted distinct file endpoints form elementary segments;
+    *     `seg(k) = #(endpoints <= k)` (one O(log B) codegen'd binary
+    *     search per key). Two keys with equal seg relate identically to
+    *     every file interval, since all interval endpoints are segment
+    *     boundaries.
+    *  2. One distinct-aggregate collects the HIT segments — bounded by
+    *     2x#files+1 ints regardless of source size (map-side partial
+    *     distinct; at 10^6 files this is a few MB).
+    *  3. Each file intersects the hit set iff a hit seg falls in
+    *     [seg(min), seg(max)] — O(#files log #hits) on the driver,
+    *     which already holds the file list for planning.
+    *
+    * Over-approximates only between a file's max and the next endpoint
+    * (a pruning false positive reads an extra file; never misses one).
+    */
+  def pruneTouched(files: Seq[DataFile], srcKeys: DataFrame): Set[String] = {
+    val spark = srcKeys.sparkSession
+    import spark.implicits._
+    if (files.isEmpty) return Set.empty
+    // Files without doc_id stats can never be pruned.
+    val (statted, unstatted) =
+      files.partition(f => f.minDocId != null && f.maxDocId != null)
+    val bounds: Array[String] = statted.flatMap(f => Seq(f.minDocId, f.maxDocId))
+      .distinct.sorted(Search.utf8Ordering).toArray
+    val hitSegs: Array[Int] =
+      if (bounds.isEmpty) Array.empty
+      else srcKeys
+        .select(SearchOps.bucketOfStr(col("doc_id"), bounds).as("seg"))
+        .distinct().as[Int].collect().sorted
+    val u8 = bounds.map(UTF8String.fromString)
+    def anyHitIn(lo: Int, hi: Int): Boolean = {
+      var a = 0; var b = hitSegs.length
+      while (a < b) { val m = (a + b) >>> 1; if (hitSegs(m) < lo) a = m + 1 else b = m }
+      a < hitSegs.length && hitSegs(a) <= hi
+    }
+    val touched = statted.filter { f =>
+      anyHitIn(
+        Search.upperBoundUtf8(u8, UTF8String.fromString(f.minDocId)),
+        Search.upperBoundUtf8(u8, UTF8String.fromString(f.maxDocId)))
+    }
+    (touched ++ unstatted).map(_.path).toSet
+  }
+
   def mergeInto(table: TokenTable, source: DataFrame,
       precedenceCol: String, jobId: String): Result = {
     val spark = table.spark
@@ -52,16 +102,7 @@ object Merge {
       .cache()
     val srcRows = src.count()
 
-    // --- file pruning via manifest min/max stats (M3 pays off here) ---
-    val files = table.files(parent)
-    val srcKeys = src.select($"doc_id").distinct()
-    val touchedPaths: Set[String] =
-      if (all.isEmpty) Set.empty
-      else files.as("f")
-        .join(srcKeys.as("k"),
-          $"k.doc_id" >= $"f.minDocId" && $"k.doc_id" <= $"f.maxDocId",
-          "left_semi")
-        .select($"path").as[String].collect().toSet
+    val touchedPaths: Set[String] = pruneTouched(all, src.select($"doc_id"))
 
     val touched = all.filter(f => touchedPaths.contains(f.path))
     val untouched = all.filterNot(f => touchedPaths.contains(f.path))

@@ -1,20 +1,51 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline: exact
   * (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard. Everything is
-  * engineered to be *cross-engine exact* so DuckDB oracles verify it:
-  * string-min MinHash signatures (md5 lexicographic min — no custom
-  * hash arithmetic), integer-only outputs (intersection/union counts
-  * instead of float Jaccard), ascii-based nibble math for SimHash.
+  * engineered to be *cross-engine exact* so DuckDB oracles verify it,
+  * while staying integer-cheap on the hot path:
+  *
+  *  - each shingle/word is md5-hashed ONCE, the first 15 hex chars are
+  *    read as a 60-bit integer (Spark `conv(hex,16,10)`, DuckDB
+  *    `('0x'||hex)::BIGINT`), and everything downstream is 64-bit
+  *    integer arithmetic — the K minhash permutations are
+  *    `(a_j*h + b_j) mod p`, not K keyed digests;
+  *  - every candidate-pair join is bucketed AND hot-bucket-capped: a
+  *    bucket (LSH band, simhash band, shingle) whose size exceeds the
+  *    cap is dropped before the self-join, so one boilerplate key can
+  *    never emit O(k^2) candidate rows at 100 TB;
+  *  - outputs are integers (match counts, hamming distances,
+  *    intersection/union sizes) so no float crosses the oracle boundary.
   *
   * Because the driver's `documents` table has no duplicates, each query
   * first augments it with deterministic near/exact duplicates (same
   * construction in the oracle SQL) so true positives are exercised.
   */
 object Dedup {
+
+  /** 2^31-1 (Mersenne prime): modulus of the minhash permutation family. */
+  val P: Long = 2147483647L
+
+  /** Permutation coefficients: sig_j = min over shingles of
+    * (permA(j)*h + permB(j)) mod P. Both factors < P, h-mod-P < P, so the
+    * product stays < 2^62 (no ANSI overflow).
+    */
+  def permA(j: Int): Long = (1000003L * (j + 1)) % P
+  def permB(j: Int): Long = (777767777L * (j + 1) + 13L) % P
+
+  /** First 15 hex chars of md5 as a 60-bit non-negative long — the one
+    * real hash each shingle/word pays; identical in DuckDB as
+    * `('0x' || substr(md5(x),1,15))::BIGINT`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def hash60Sql(x: String): String =
+    s"('0x' || substr(md5($x),1,15))::BIGINT"
 
   /** 3-word shingles over normalized words; whole text if < 3 words. */
   def shingles(text: Column): Column = {
@@ -50,52 +81,60 @@ object Dedup {
 
   val MinhashK = 12 // signature length
   val MinhashBands = 4 // x 3 rows/band
+  val BucketCap = 200 // max docs per LSH bucket before the bucket is dropped
 
-  /** MinHash signatures via explode + aggregate: sig_j = lexicographic
-    * min of md5("j:" + shingle) — the permutation family is "sort by
-    * keyed md5", which needs no cross-engine integer hash.
+  /** MinHash signatures, integer-permutation family: each distinct
+    * shingle is hashed once to a 60-bit integer h (the only digest on
+    * the path), then sig_j = min((a_j * (h mod P) + b_j) mod P) — K
+    * two-op integer permutations instead of K keyed digests, ~10x less
+    * per-shingle work than a digest-per-permutation scheme.
     *
-    * Deliberately NOT a nested higher-order-function expression:
-    * Catalyst does no common-subexpression elimination inside lambda
-    * bodies, so an `array(transform(shingles(text), ...) x K)` tree
-    * re-evaluates the shingle regex O(K * n) times per row. Exploding
-    * shingles to rows evaluates it once, and the K mins become one
-    * hash aggregate (map-side partial agg + a single shuffle on doc_id
-    * — the shape that scales).
+    * Deliberately explode-then-aggregate, NOT a nested
+    * higher-order-function expression: Catalyst does no
+    * common-subexpression elimination inside lambda bodies, so an
+    * `array(transform(shingles(text), ...) x K)` tree re-evaluates the
+    * shingle regex O(K * n) times per row. Exploding shingles to rows
+    * evaluates it once, and the K mins become one hash aggregate
+    * (map-side partial agg + a single shuffle on doc_id).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(shingles(col("text")))).as("s"))
+      .select(col("doc_id"), pmod(hash60(col("s")), lit(P)).as("hp"))
     val aggs = (0 until MinhashK).map(j =>
-      min(md5(concat(lit(s"$j:"), col("s")))).as(s"sig$j"))
+      min(pmod(lit(permA(j)) * col("hp") + lit(permB(j)), lit(P))).as(s"sig$j"))
     sh.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
         array((0 until MinhashK).map(j => col(s"sig$j")): _*).as("sig"))
   }
 
-  /** MinHash+LSH near-dup pairs: band on md5 of 3 consecutive sigs,
-    * candidate pairs from band-bucket self-join (this is the shuffle —
-    * pairs only form inside a bucket, never all-pairs), then estimated
-    * similarity = #matching signature positions, kept if >= minMatches.
-    *
-    * Scale path: explode is K_bands rows/doc; the self-join key
-    * (band_idx, band_hash) is high-cardinality -> well-distributed
-    * shuffle; hot buckets (boilerplate docs) would be capped/salted in a
-    * production config.
+  /** MinHash+LSH near-dup pairs: band key = the 3 signature ints of the
+    * band joined to a string (exact in both engines), candidate pairs
+    * from a band-bucket self-join (pairs only form inside a bucket,
+    * never all-pairs), buckets over [[BucketCap]] docs dropped BEFORE
+    * the join (a boilerplate bucket of k docs would otherwise emit k^2
+    * rows), then estimated similarity = #matching signature positions,
+    * kept if >= minMatches.
     */
   def minhashLsh(docs: DataFrame, minMatches: Int = 6): DataFrame = {
     val sigs = minhashSignatures(docs)
+    val bandKeys = (0 until MinhashBands).map(b =>
+      concat_ws(",",
+        element_at(col("sig"), b * 3 + 1),
+        element_at(col("sig"), b * 3 + 2),
+        element_at(col("sig"), b * 3 + 3)))
     val bands = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until MinhashBands).map(b =>
-        md5(concat(element_at(col("sig"), b * 3 + 1),
-          element_at(col("sig"), b * 3 + 2),
-          element_at(col("sig"), b * 3 + 3)))): _*)).as(Seq("band_idx", "band_hash")))
-    val a = bands.select(col("doc_id").as("a"), col("sig").as("sig_a"),
-      col("band_idx"), col("band_hash"))
-    val b = bands.select(col("doc_id").as("b"), col("sig").as("sig_b"),
-      col("band_idx"), col("band_hash"))
-    a.join(b, Seq("band_idx", "band_hash"))
+      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+    val capped = bands
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_key"))))
+      .filter(col("bsz") <= BucketCap)
+    val a = capped.select(col("doc_id").as("a"), col("sig").as("sig_a"),
+      col("band_idx"), col("band_key"))
+    val b = capped.select(col("doc_id").as("b"), col("sig").as("sig_b"),
+      col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         aggregate(zip_with(col("sig_a"), col("sig_b"),
@@ -107,57 +146,91 @@ object Dedup {
 
   // ---------------------------------------------------------- simhash
 
-  /** Per-word 16-bit hash from the first 4 hex nibbles of md5(word),
-    * via ascii arithmetic (identical in DuckDB).
-    */
-  private def word16(w: Column): Column = {
-    def nib(i: Int): Column = {
-      val a = ascii(substring(w, i + 1, 1)) // operates on the md5 hex below
-      when(a <= 57, a - 48).otherwise(a - 87)
-    }
-    // w is already md5(word) when called
-    (nib(0) + nib(1) * 16 + nib(2) * 256 + nib(3) * 4096).cast("int")
-  }
+  val SimhashBits = 60 // 15 hex chars of md5 -> non-negative long
+  val SimhashBandBits = 15 // 4 bands x 15 bits
+  val SimhashMaxHamming = 3 // pigeonhole: hamming<=3 => >=1 of 4 bands equal
 
-  /** 16-bit SimHash over the word multiset via explode + aggregate
+  /** 60-bit SimHash over the word multiset via explode + aggregate
     * (same CSE rationale as [[minhashSignatures]]): bit b set iff the
-    * sum of (2*bit_b(word16)-1) over words is positive. Docs with no
-    * words get simhash 0 (matching the oracle's coalesce).
+    * sum of (2*bit_b(hash60(word))-1) over words is positive. Docs with
+    * no words get simhash 0 (matching the oracle's coalesce). 60 bits
+    * (not 16): at web scale a 16-bit space is 65,536 buckets total and
+    * every "group" is a false positive; 60 bits makes equal-hash groups
+    * meaningful and gives the banded hamming join room to prune.
     */
   def simhashed(docs: DataFrame): DataFrame = {
     val w = docs.select(col("doc_id"),
       explode(TextOps.words(col("text"))).as("w"))
-      .withColumn("h16", word16(md5(col("w"))))
-    val aggs = (0 until 16).map(b =>
-      sum((shiftright(col("h16"), b).bitwiseAND(lit(1)) * 2 - 1).cast("long")).as(s"b$b"))
+      .select(col("doc_id"), hash60(col("w")).as("h"))
+    val aggs = (0 until SimhashBits).map(b =>
+      sum((shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$b"))
     val perDoc = w.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
-        (0 until 16).map(b =>
+        (0 until SimhashBits).map(b =>
           when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _).as("simhash"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
-  /** SimHash dup groups: documents sharing an identical 16-bit simhash
-    * (hamming distance 0; banded hamming<=k joins are the production
-    * extension). Output: per-group simhash + first-wins id + size.
+  /** SimHash dup groups: documents sharing an identical 60-bit simhash
+    * (hamming distance 0 — effectively identical word multisets).
+    * Output: per-group simhash + first-wins id + size.
     */
   def simhashDups(docs: DataFrame): DataFrame =
     simhashed(docs).groupBy(col("simhash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
 
+  /** SimHash near-dup pairs with hamming <= [[SimhashMaxHamming]]: the
+    * 60-bit hash is split into 4 bands of 15 bits; by pigeonhole any
+    * pair within hamming 3 agrees on at least one full band, so a
+    * band-bucket self-join (capped, like LSH) finds all of them without
+    * pairwise work; candidates are verified by exact popcount of the
+    * XOR. This is the banded production form of simhash dedup — the
+    * equal-hash grouping above is its hamming-0 special case.
+    */
+  def simhashHamming(docs: DataFrame, maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val s = simhashed(docs)
+    val nBands = SimhashBits / SimhashBandBits
+    val mask = (1L << SimhashBandBits) - 1
+    val bands = s.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val capped = bands
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_val"))))
+      .filter(col("bsz") <= BucketCap)
+    val x = capped.select(col("doc_id").as("a"), col("simhash").as("sa"),
+      col("band_idx"), col("band_val"))
+    val y = capped.select(col("doc_id").as("b"), col("simhash").as("sb"),
+      col("band_idx"), col("band_val"))
+    x.join(y, Seq("band_idx", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ---------------------------------------------------- ngram jaccard
 
-  /** Exact n-gram Jaccard near-dup pairs, restricted to candidates that
-    * share >= 1 shingle (the explode/self-join prunes the quadratic
-    * space). Integer outputs: intersection and union sizes; the
-    * threshold test inter/union >= t is done in integer arithmetic
-    * (inter*100 >= t100*union) so no float crosses the oracle boundary.
+  val ShingleDfCap = 128 // shingles in more docs than this are boilerplate
+
+  /** Exact n-gram Jaccard near-dup pairs over the DF-capped shingle
+    * set: shingles whose document frequency exceeds [[ShingleDfCap]]
+    * are boilerplate and dropped BEFORE the self-join (an uncapped
+    * shingle in k docs emits k^2 candidate rows — the classic
+    * scale-killer); intersection and union counts are then computed
+    * over the capped set on both sides of the division-free integer
+    * threshold test (inter*100 >= t100*union).
     */
   def ngramJaccard(docs: DataFrame, thresholdPct: Int = 60): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(array_distinct(shingles(col("text")))).as("s"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= ShingleDfCap)
+      .select(col("doc_id"), col("s"))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -201,48 +274,83 @@ object Dedup {
 
   val minhashSql: String = {
     val sigExprs = (0 until MinhashK).map(j =>
-      s"list_min(list_transform(sh, s -> md5('$j:' || s)))").mkString(", ")
+      s"min((${permA(j)} * hp + ${permB(j)}) % $P)").mkString(", ")
     val bandExprs = (0 until MinhashBands).map(b =>
-      s"md5(sig[${b * 3 + 1}] || sig[${b * 3 + 2}] || sig[${b * 3 + 3}])").mkString(", ")
-    s"""WITH sigs AS (
-       |  SELECT doc_id, [$sigExprs] AS sig
-       |  FROM (SELECT doc_id, $ShinglesSql AS sh FROM $augSql aug)
+      s"array_to_string([sig[${b * 3 + 1}], sig[${b * 3 + 2}], sig[${b * 3 + 3}]], ',')")
+      .mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${hash60Sql("s")} % $P AS hp
+       |  FROM (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS s FROM $augSql aug)
+       |), sigs AS (
+       |  SELECT doc_id, [$sigExprs] AS sig FROM sh GROUP BY doc_id
        |), bands AS (
        |  SELECT doc_id, sig, unnest(range(0, $MinhashBands)) AS band_idx,
-       |         unnest([$bandExprs]) AS band_hash
+       |         unnest([$bandExprs]) AS band_key
        |  FROM sigs
+       |), capped AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, sig, band_idx, band_key,
+       |           count(*) OVER (PARTITION BY band_idx, band_key) AS bsz
+       |    FROM bands) WHERE bsz <= $BucketCap
        |)
        |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
        |  CAST(list_sum(list_transform(range(1, ${MinhashK + 1}),
        |       i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS sig_matches
-       |FROM bands x JOIN bands y
-       |  ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+       |FROM capped x JOIN capped y
+       |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key AND x.doc_id < y.doc_id
        |WHERE list_sum(list_transform(range(1, ${MinhashK + 1}),
        |       i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END)) >= 6""".stripMargin
   }
 
-  val simhashSql: String = {
-    val w16 =
-      """(CASE WHEN ascii(substr(md5(w),1,1)) <= 57 THEN ascii(substr(md5(w),1,1)) - 48 ELSE ascii(substr(md5(w),1,1)) - 87 END
-        | + (CASE WHEN ascii(substr(md5(w),2,1)) <= 57 THEN ascii(substr(md5(w),2,1)) - 48 ELSE ascii(substr(md5(w),2,1)) - 87 END) * 16
-        | + (CASE WHEN ascii(substr(md5(w),3,1)) <= 57 THEN ascii(substr(md5(w),3,1)) - 48 ELSE ascii(substr(md5(w),3,1)) - 87 END) * 256
-        | + (CASE WHEN ascii(substr(md5(w),4,1)) <= 57 THEN ascii(substr(md5(w),4,1)) - 48 ELSE ascii(substr(md5(w),4,1)) - 87 END) * 4096)""".stripMargin.replace("\n", "")
-    val bits = (0 until 16).map(b =>
-      s"(CASE WHEN coalesce(list_sum(list_transform(wh, h -> ((h >> $b) & 1) * 2 - 1)), 0) > 0 THEN ${1L << b} ELSE 0 END)")
+  /** Shared oracle CTE body: per-doc 60-bit simhash. */
+  private val simhashedSql: String = {
+    val bits = (0 until SimhashBits).map(b =>
+      s"(CASE WHEN coalesce(list_sum(list_transform(wh, h -> ((h >> $b) & 1) * 2 - 1)), 0) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    s"""WITH hashed AS (
-       |  SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+    s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
        |  FROM (SELECT doc_id,
-       |          list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'), w -> $w16) AS wh
-       |        FROM $augSql aug)
+       |          list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |                         w -> ${hash60Sql("w")}) AS wh
+       |        FROM $augSql aug)""".stripMargin
+  }
+
+  val simhashSql: String =
+    s"""WITH hashed AS (
+       |$simhashedSql
        |)
        |SELECT simhash, min(doc_id) AS keep_id, count(*) AS dup_count
        |FROM hashed GROUP BY 1 HAVING count(*) > 1""".stripMargin
+
+  val simhashHammingSql: String = {
+    val nBands = SimhashBits / SimhashBandBits
+    val mask = (1L << SimhashBandBits) - 1
+    val bandExprs = (0 until nBands).map(b =>
+      s"((simhash >> ${b * SimhashBandBits}) & $mask)").mkString(", ")
+    s"""WITH hashed AS (
+       |$simhashedSql
+       |), bands AS (
+       |  SELECT doc_id, simhash, unnest(range(0, $nBands)) AS band_idx,
+       |         unnest([$bandExprs]) AS band_val
+       |  FROM hashed
+       |), capped AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, simhash, band_idx, band_val,
+       |           count(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+       |    FROM bands) WHERE bsz <= $BucketCap
+       |)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+       |FROM capped x JOIN capped y
+       |  ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimhashMaxHamming""".stripMargin
   }
 
   val ngramJaccardSql: String =
     s"""WITH sh AS (
-       |  SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS s FROM $augSql aug
+       |  SELECT doc_id, s FROM (
+       |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df
+       |    FROM (SELECT doc_id, unnest(list_distinct($ShinglesSql)) AS s FROM $augSql aug)
+       |  ) WHERE df <= $ShingleDfCap
        |), cnt AS (
        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
        |), pairs AS (

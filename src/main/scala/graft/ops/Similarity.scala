@@ -8,11 +8,19 @@ import org.apache.spark.sql.functions._
   * (broadcast the query set, one pass over the corpus — no shuffle
   * until the per-query top-k aggregation); random-hyperplane LSH is the
   * scale path (bucket join instead of full cross product).
+  *
+  * Cross-engine exactness: embeddings are quantized once to integers
+  * (`floor(v*100 + 0.5)`), every dot product / norm / LSH sign test is
+  * then 64-bit integer arithmetic, and the only float op left is the
+  * final rank score `dot / sqrt(na*nb)` — computed from identical
+  * integers with identical IEEE ops in both engines, so the DuckDB
+  * oracle verifies the ANN queries bit-for-bit (round 1 left them
+  * rows-only because xxhash64 hyperplanes had no DuckDB mirror).
   */
 object Similarity {
 
-  /** Cosine similarity of two float arrays, computed in double.
-    * Pure Catalyst (`zip_with` + `aggregate`) — codegen'd, no UDF.
+  /** Cosine similarity of two float arrays, computed in double — the
+    * library's general-purpose scorer (pure Catalyst, codegen'd).
     */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
@@ -21,18 +29,63 @@ object Similarity {
     dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
   }
 
+  // ------------------------------------------------- quantized kernel
+
+  val QuantScale = 100 // |v|<=~1.0 -> |q|<=~100; dim 64 -> |dot|<=~6.6e5
+
+  /** Integer quantization: q_j = floor(v_j*100 + 0.5) (deterministic in
+    * both engines — float->double is exact, the multiply/add/floor are
+    * IEEE-identical).
+    */
+  def quantize(emb: Column): Column =
+    transform(emb, v => floor(v.cast("double") * QuantScale + 0.5d).cast("long"))
+
+  val quantizeSql: String =
+    s"list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $QuantScale + 0.5) AS BIGINT))"
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Rank score: dot / sqrt(na*nb) in double. Identical integer inputs
+    * + identical IEEE ops = identical ranking across engines.
+    */
+  private def qsim(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / sqrt((na * nb).cast("double"))
+
+  /** Input with planted duplicates so the dedup query has true
+    * positives (the driver's embeddings table has none): every 10th
+    * vector is duplicated verbatim under vec_id+10000. Mirrored 1:1 in
+    * [[augEmbSql]].
+    */
+  def augmentedEmb(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+
+  val augEmbSql: String =
+    """(SELECT vec_id, embedding FROM embeddings
+      | UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin.replace("\n", "")
+
+  // ------------------------------------------------------- brute force
+
   /** Exact top-k neighbors for the query vectors (vec_id < nQueries) by
-    * cosine. Output is rank-only (ints) so the oracle comparison never
-    * crosses a float boundary; ties broken by vec_id.
+    * quantized cosine. Output is rank-only (ints) so the oracle
+    * comparison never crosses a float boundary; ties broken by vec_id.
+    * Plan: query side broadcast, corpus streamed once, per-query top-k
+    * via window over the (tiny) nQueries*corpus score set.
     */
   def bruteForceTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val queries = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val joined = emb.crossJoin(broadcast(queries))
+    val qe = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", qdot(col("q"), col("q")))
+      .filter(col("nq") > 0)
+    val queries = qe.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("nqq"))
+    val joined = qe.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("sim"))
+        qsim(qdot(col("qq"), col("q")), col("nqq"), col("nq")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     joined.withColumn("rank", row_number().over(w))
@@ -40,84 +93,102 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
-  val bruteForceSql: String =
-    """WITH q AS (
-      |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
-      |), scored AS (
-      |  SELECT q.query_id, e.vec_id AS neighbor_id,
-      |         list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS sim
-      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
-      |)
-      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
-      |  SELECT query_id, neighbor_id,
-      |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-      |  FROM scored) WHERE rank <= 10""".stripMargin
-
-  /** Random-hyperplane LSH signature: bit p = sign of <v, h_p> where
-    * hyperplane component h_p[j] = (xxhash64(p, j) mod 2001) - 1000 —
-    * deterministic, seedless, computed inline with Catalyst expressions
-    * (no materialized plane matrix; at 10^12 scale nothing to broadcast).
+  /** Integer dot product over DuckDB lists (index-based — works for any
+    * dim without zip).
     */
-  def lshSignature(emb: Column, dim: Int, nPlanes: Int = 12): Column = {
-    val planes = (0 until nPlanes).map { p =>
-      val dotC = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dim - 1)), (v, j) =>
-          v.cast("double") *
-            (pmod(xxhash64(lit(p), j), lit(2001L)) - 1000L).cast("double")),
-        lit(0.0d), (acc, v) => acc + v)
-      when(dotC > 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    planes.reduce(_ + _)
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])) AS BIGINT)"
+
+  val bruteForceSql: String =
+    s"""WITH qe AS (
+       |  SELECT vec_id, $quantizeSql AS q FROM embeddings
+       |), qn AS (
+       |  SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM qe
+       |), qnn AS (SELECT * FROM qn WHERE nq > 0
+       |), scored AS (
+       |  SELECT qs.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |         CAST(${dotSql("qs.q", "e.q")} AS DOUBLE) / sqrt(CAST(qs.nq * e.nq AS DOUBLE)) AS sim
+       |  FROM qnn e CROSS JOIN (SELECT * FROM qnn WHERE vec_id < 5) qs
+       |  WHERE e.vec_id <> qs.vec_id
+       |)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 10""".stripMargin
+
+  // -------------------------------------------------------- LSH planes
+
+  /** Deterministic hyperplane component: first 15 hex chars of
+    * md5("p:j") read as a 60-bit int, mod 2001, minus 1000 — a public,
+    * engine-independent formula. The matrix is tiny (planes x dim
+    * ints), so it is materialized once on the driver and inlined as
+    * literals in BOTH engines: no per-row digest work, nothing to
+    * broadcast at any scale, and the DuckDB oracle sees the exact same
+    * numbers.
+    */
+  def planeVal(p: Int, j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s"$p:$j".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
   }
 
-  /** Per-table signatures: table t uses planes [t*m, (t+1)*m). Returns
-    * an array<long> of length nTables.
+  def plane(p: Int, dim: Int): Array[Long] =
+    Array.tabulate(dim)(j => planeVal(p, j))
+
+  /** Sign-bit signature of a quantized vector against planes
+    * [first, first+nPlanes): bit p set iff the integer dot product with
+    * plane (first+p) is positive.
     */
-  def lshTableSignatures(emb: Column, dim: Int, planesPerTable: Int,
-      nTables: Int): Column =
-    array((0 until nTables).map { t =>
-      val bits = (0 until planesPerTable).map { p =>
-        val planeId = t * planesPerTable + p
-        val dotC = aggregate(
-          zip_with(emb, sequence(lit(0), lit(dim - 1)), (v, j) =>
-            v.cast("double") *
-              (pmod(xxhash64(lit(planeId), j), lit(2001L)) - 1000L).cast("double")),
-          lit(0.0d), (acc, v) => acc + v)
-        when(dotC > 0, lit(1L << p)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _)
-    }: _*)
+  def lshSignature(qemb: Column, dim: Int, first: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val dotC = aggregate(
+        zip_with(qemb, lit(plane(first + p, dim)), (v, h) => v * h),
+        lit(0L), (acc, v) => acc + v)
+      when(dotC > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SQL literal for the plane matrix rows [0, nPlanes). */
+  private def planesSqlLit(nPlanes: Int, dim: Int): String =
+    (0 until nPlanes).map(p => plane(p, dim).mkString("[", ",", "]"))
+      .mkString("[", ", ", "]")
 
   /** ANN via multi-table LSH: L independent tables of m hyperplanes
     * each; a corpus vector is a candidate if it shares a bucket with the
     * query in ANY table (classic recall amplification: 1-(1-p^m)^L).
-    * Candidates are deduped, then exact cosine ranks them. Returns
-    * (query_id, neighbor_id, rank) like the brute-force baseline; recall
-    * is asserted against brute force in OpsSpec, not the oracle.
+    * Candidates are deduped, then exact quantized cosine ranks them.
+    * Returns (query_id, neighbor_id, rank) like the brute-force
+    * baseline; recall vs brute force is additionally asserted in
+    * OpsSpec.
     *
     * Scale path: the bucket join touches ~L * corpus/2^m rows per query
-    * instead of the full corpus; table/bucket is a well-spread shuffle
-    * key; the query side broadcasts.
+    * instead of the full corpus; (table, bucket) is a well-spread
+    * shuffle key; the query side broadcasts. `dim` is a parameter (the
+    * embedding dimension is pipeline config, not something a scan
+    * should run a driver action to discover).
     */
   def lshTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
-      planesPerTable: Int = 6, nTables: Int = 8): DataFrame = {
+      planesPerTable: Int = 6, nTables: Int = 8, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val sigged = emb
-      .withColumn("sigs", lshTableSignatures(col("embedding"), dim, planesPerTable, nTables))
-      .select(col("vec_id"), col("embedding"),
+    val qe = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", qdot(col("q"), col("q")))
+      .filter(col("nq") > 0)
+    val sigged = qe
+      .withColumn("sigs", array((0 until nTables).map(t =>
+        lshSignature(col("q"), dim, t * planesPerTable, planesPerTable)): _*))
+      .select(col("vec_id"), col("q"), col("nq"),
         posexplode(col("sigs")).as(Seq("tbl", "sig")))
     val queries = sigged.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("tbl"), col("sig"))
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("nq").as("nqq"), col("tbl"), col("sig"))
     val candidates = sigged.join(broadcast(queries), Seq("tbl", "sig"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("q_emb"), col("embedding"))
+        col("qq"), col("nqq"), col("q"), col("nq"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = candidates
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("embedding")).as("sim"))
+        qsim(qdot(col("qq"), col("q")), col("nqq"), col("nq")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -125,18 +196,94 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
-  /** Embedding near-dup pairs: cosine above a high threshold among
-    * LSH-bucket candidates (the embedding-space analog of MinHash).
+  def lshTopKSql(nQueries: Int = 5, k: Int = 10,
+      planesPerTable: Int = 6, nTables: Int = 8, dim: Int = 64): String = {
+    val n = nTables * planesPerTable
+    s"""WITH qe AS (
+       |  SELECT vec_id, $quantizeSql AS q FROM embeddings
+       |), qn AS (
+       |  SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM qe
+       |), qnn AS (SELECT * FROM qn WHERE nq > 0
+       |), pl AS (
+       |  SELECT unnest(range(0, $n)) AS pid,
+       |         unnest(${planesSqlLit(n, dim)}) AS pvec
+       |), dots AS (
+       |  SELECT vec_id, pid, ${dotSql("q", "pvec")} AS d
+       |  FROM qnn CROSS JOIN pl
+       |), sigt AS (
+       |  SELECT vec_id, pid // $planesPerTable AS tbl,
+       |         CAST(sum(CASE WHEN d > 0 THEN (1 << (pid % $planesPerTable)) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM dots GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT qs.vec_id AS query_id, e.vec_id AS neighbor_id
+       |  FROM sigt e JOIN (SELECT * FROM sigt WHERE vec_id < $nQueries) qs
+       |    ON e.tbl = qs.tbl AND e.sig = qs.sig AND e.vec_id <> qs.vec_id
+       |), scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         CAST(${dotSql("a.q", "b.q")} AS DOUBLE) / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS sim
+       |  FROM cand c JOIN qnn a ON a.vec_id = c.query_id JOIN qnn b ON b.vec_id = c.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+  }
+
+  // ------------------------------------------------- embedding dedup
+
+  val DupBucketCap = 500 // max vectors per LSH bucket before it is dropped
+
+  /** Embedding near-dup pairs: quantized cosine >= 0.95 among LSH-bucket
+    * candidates (the embedding-space analog of MinHash). The threshold
+    * test is division-free integer arithmetic:
+    * dot>0 && dot^2 * 10000 >= 9025 * na * nb  ==  cos >= 0.95.
+    * Buckets over [[DupBucketCap]] are dropped before the self-join
+    * (hot-bucket cap, same rationale as Dedup).
     */
-  def embeddingDups(emb: DataFrame, nPlanes: Int = 8,
-      simThreshold: Double = 0.95): DataFrame = {
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val sigged = emb.withColumn("sig", lshSignature(col("embedding"), dim, nPlanes))
-    val l = sigged.select(col("sig"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val r = sigged.select(col("sig"), col("vec_id").as("b"), col("embedding").as("eb"))
+  def embeddingDups(emb: DataFrame, nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qe = augmentedEmb(emb)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", qdot(col("q"), col("q")))
+      .filter(col("nq") > 0)
+    val sigged = qe.withColumn("sig", lshSignature(col("q"), dim, 0, nPlanes))
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("sig"))))
+      .filter(col("bsz") <= DupBucketCap)
+    val l = sigged.select(col("sig"), col("vec_id").as("a"), col("q").as("qa"), col("nq").as("na"))
+    val r = sigged.select(col("sig"), col("vec_id").as("b"), col("q").as("qb"), col("nq").as("nb"))
     l.join(r, Seq("sig")).filter(col("a") < col("b"))
-      .withColumn("sim", cosine(col("ea"), col("eb")))
-      .filter(col("sim") >= simThreshold)
+      .withColumn("dot", qdot(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * 10000L >= lit(9025L) * col("na") * col("nb"))
       .select(col("a"), col("b"))
   }
+
+  def embeddingDupsSql(nPlanes: Int = 8, dim: Int = 64): String =
+    s"""WITH aug AS (
+       |  SELECT vec_id, embedding FROM $augEmbSql
+       |), qe AS (
+       |  SELECT vec_id, $quantizeSql AS q FROM aug
+       |), qn AS (
+       |  SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM qe
+       |), qnn AS (SELECT * FROM qn WHERE nq > 0
+       |), pl AS (
+       |  SELECT unnest(range(0, $nPlanes)) AS pid,
+       |         unnest(${planesSqlLit(nPlanes, dim)}) AS pvec
+       |), dots AS (
+       |  SELECT vec_id, pid, ${dotSql("q", "pvec")} AS d
+       |  FROM qnn CROSS JOIN pl
+       |), sigs AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << pid) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM dots GROUP BY 1
+       |), capped AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id, sig, count(*) OVER (PARTITION BY sig) AS bsz FROM sigs)
+       |  WHERE bsz <= $DupBucketCap
+       |)
+       |SELECT x.vec_id AS a, y.vec_id AS b
+       |FROM capped x JOIN capped y ON x.sig = y.sig AND x.vec_id < y.vec_id
+       |JOIN qnn qa ON qa.vec_id = x.vec_id JOIN qnn qb ON qb.vec_id = y.vec_id
+       |WHERE ${dotSql("qa.q", "qb.q")} > 0
+       |  AND ${dotSql("qa.q", "qb.q")} * ${dotSql("qa.q", "qb.q")} * 10000
+       |      >= 9025 * qa.nq * qb.nq""".stripMargin
 }

@@ -244,6 +244,11 @@ class TokenTable(val location: String, val spark: SparkSession) {
     *   Iceberg's serializable snapshot isolation and the reference's
     *   exhausted-retry hard error (`src/kafka/mod.rs:224-228`).
     */
+  /** @param rebaseGuard invoked with the rebased-onto snapshot before an
+    *        append auto-rebase; throw [[CommitConflictException]] to veto
+    *        (e.g. ingest aborts when the concurrent commit already covers
+    *        this batch's offsets — see Ingest.ingestBatch).
+    */
   def commit(
       parent: Option[Snapshot],
       operation: String,
@@ -251,7 +256,8 @@ class TokenTable(val location: String, val spark: SparkSession) {
       keepManifests: Seq[String],
       removedPaths: Set[String],
       summary: Map[String, String] = Map.empty,
-      maxAttempts: Int = 5): Snapshot = {
+      maxAttempts: Int = 5,
+      rebaseGuard: Option[Snapshot => Unit] = None): Snapshot = {
     val v = parent.map(_.version + 1).getOrElse(0L)
     // Watermarks are table state, not commit metadata: every snapshot
     // inherits its parent's offset watermarks (max-merged with its own),
@@ -283,11 +289,12 @@ class TokenTable(val location: String, val spark: SparkSession) {
           "rewrite commits cannot auto-rebase — re-plan against the new snapshot")
     if (maxAttempts <= 1)
       throw new CommitConflictException(s"$operation: exhausted commit attempts")
+    rebaseGuard.foreach(_(latest))
     // The recursive attempt re-merges watermarks against `latest` at
     // snapshot-construction time, so a rebased append keeps both sides'
     // offsets.
     commit(Some(latest), operation, addManifests, latest.manifests,
-      removedPaths, summary, maxAttempts - 1)
+      removedPaths, summary, maxAttempts - 1, rebaseGuard)
   }
 
   /** Append rows (token schema) as one atomic snapshot. */

@@ -24,17 +24,38 @@ class DeadLetterSpec extends SparkSpec {
     val res = Ingest.ingestBatch(t, batch, deadLetterDir = Some(dlq))
     assert(res.appended == 2)
     assert(res.deadLettered == 2)
-    val dead = spark.read.parquet(dlq)
+    def readDlq() = spark.read
+      .option("recursiveFileLookup", "true").parquet(dlq)
+    val dead = readDlq()
     assert(dead.count() == 2)
     val byOffset = dead.select($"offset", $"error", $"value")
       .as[(Long, String, String)].collect().map(r => r._1 -> r).toMap
     assert(byOffset(1L)._2.startsWith("ParseError"))
     assert(byOffset(2L)._2.startsWith("MissingField") && byOffset(2L)._2.contains("tokens"))
     assert(byOffset(1L)._3 == "garbage", "original payload must be preserved")
-    // A second batch APPENDS to the DLQ (it is a table, not a topic).
+    // A second batch lands in its own deterministic subdir (the DLQ is
+    // a table, not a topic).
     Ingest.ingestBatch(t,
       Seq(RawMessage("t", 0, 9, Some("k9"), "also bad")).toDS(),
       deadLetterDir = Some(dlq))
-    assert(spark.read.parquet(dlq).count() == 3)
+    assert(readDlq().count() == 3)
+  }
+
+  test("DLQ retry is idempotent: a replayed batch overwrites its own subdir") {
+    // Crash between the DLQ write and the snapshot commit leaves the
+    // watermark unadvanced -> the SAME batch is retried. Two fresh
+    // tables against one DLQ dir simulate the commit never landing: the
+    // batch tag is offset-derived, so the retry overwrites in place
+    // instead of appending duplicates.
+    val dlq = tmpDir("dlq-idem")
+    val batch = Seq(
+      RawMessage("t", 0, 0, Some("k0"), "bad one"),
+      RawMessage("t", 0, 1, Some("k1"), "bad two")).toDS()
+    Ingest.ingestBatch(TokenTable.create(spark, tmpDir("dlq-t1")), batch,
+      deadLetterDir = Some(dlq))
+    Ingest.ingestBatch(TokenTable.create(spark, tmpDir("dlq-t2")), batch,
+      deadLetterDir = Some(dlq))
+    val dead = spark.read.option("recursiveFileLookup", "true").parquet(dlq)
+    assert(dead.count() == 2, "replayed dead letters must not duplicate")
   }
 }

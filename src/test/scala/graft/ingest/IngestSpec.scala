@@ -152,6 +152,78 @@ class IngestSpec extends SparkSpec {
     assert(errs(1L).contains("doc_id"))
   }
 
+  test("parse: null ELEMENT inside tokens is quarantined (containsNull=false schema)") {
+    val (valid, dead) = Ingest.parse(Seq(
+      msg(0, "a", """{"doc_id":"x","tokens":[1,null,2],"n_tok":3,"source":"web"}"""),
+      msg(1, "b", good.format("doc_ok"))).toDS())
+    assert(valid.count() == 1)
+    val d = dead.head()
+    assert(d.offset == 0L && d.error.contains("tokens"))
+  }
+
+  test("dedup D1: same-offset different-payload tie-break is deterministic") {
+    val rows = Seq(
+      ("t", 0, "doc_x", Seq(1, 2), 2, "web", 5L),
+      ("t", 0, "doc_y", Seq(3), 1, "web", 5L),
+      ("t", 0, "doc_z", Seq(4, 5, 6), 3, "books", 5L))
+    // Different physical layouts -> different arrival order inside the
+    // window partition; the payload-derived ordering must pick the SAME
+    // winner every run (ordering by the partition-constant offset would
+    // not).
+    val winners = Seq(1, 2, 3).map { n =>
+      val df = rows.toDF("topic", "partition", "doc_id", "tokens", "n_tok", "source", "offset")
+        .repartition(n)
+      Ingest.dedupFirstWins(df).select($"doc_id").as[String].collect().toSeq
+    }
+    assert(winners.forall(_.size == 1))
+    assert(winners.distinct.size == 1, s"winner must not depend on layout: $winners")
+  }
+
+  test("replay filter scales to thousands of topic-partitions (join, not when-chain)") {
+    val dir = tmpDir("tbl-manytp")
+    val t = TokenTable.create(spark, dir)
+    val nPart = 5000
+    val batch = (0 until nPart).map(p =>
+      RawMessage("t", p, 0L, Some(s"doc_p$p"), good.format(s"doc_p$p"))).toDS()
+    val r1 = Ingest.ingestBatch(t, batch)
+    assert(r1.appended == nPart)
+    // Full replay across all 5k partitions: everything filtered by the
+    // broadcast watermark join (a when-chain expression tree would blow
+    // up long before this size).
+    val r2 = Ingest.ingestBatch(t, batch)
+    assert(r2.appended == 0 && r2.replayFiltered == nPart)
+    assert(t.scan().count() == nPart)
+  }
+
+  test("concurrent same-partition writers never double-append (rebase guard)") {
+    val dir = tmpDir("tbl-race")
+    TokenTable.create(spark, dir)
+    val mk = () => (0L until 50L).map(i =>
+      msg(i, s"doc_$i", good.format(s"doc_$i"))).toDS()
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // Both workers ingest the SAME offsets concurrently. Depending on
+    // timing a worker either (a) sees the other's commit first and
+    // replay-filters everything, or (b) loses the CAS and the rebase
+    // guard aborts it. Either way the table must hold each row once.
+    val outcomes = Await.result(Future.sequence(Seq(1, 2).map { _ =>
+      Future {
+        try Right(Ingest.ingestBatch(TokenTable.open(spark, dir), mk()))
+        catch { case e: graft.table.CommitConflictException => Left(e) }
+      }
+    }), Duration.Inf)
+    pool.shutdown()
+    val t = TokenTable.open(spark, dir)
+    assert(t.scan().count() == 50,
+      s"exactly-once violated: ${t.scan().count()} rows; outcomes=$outcomes")
+    assert(t.scan().select($"doc_id").distinct().count() == 50)
+    val appendedTotal = outcomes.collect { case Right(r) => r.appended }.sum
+    assert(appendedTotal == 50, s"double-append: $outcomes")
+  }
+
   test("generator: tokens are a pure function of doc_id (duplicates byte-equal)") {
     val df = TokenGen.generate(spark, 300, dupRate = 0.1)
     import org.apache.spark.sql.functions._

@@ -37,4 +37,30 @@ class PruningSpec extends SparkSpec {
       s"n_tok scan must prune after zorder: read $lenRead of $lenTotal")
     assert(checksum(lenDf) == expectLen)
   }
+
+  test("merge pruning: segment index over a 10^4-file manifest, no join") {
+    import graft.table.DataFile
+    import spark.implicits._
+    // Disjoint doc_id ranges: file i holds doc_<i>0 .. doc_<i>9.
+    val files = (0 until 10000).map { i =>
+      DataFile(path = s"f$i", bytes = 1L, rows = 10L,
+        minDocId = f"doc_$i%05d0", maxDocId = f"doc_$i%05d9",
+        minNtok = 1, maxNtok = 9, sumNtok = 10L,
+        minSource = "a", maxSource = "z")
+    }
+    val keys = Seq("doc_000072", "doc_004253", "doc_099991").toDF("doc_id")
+    assert(Merge.pruneTouched(files, keys) == Set("f7", "f425", "f9999"))
+    // Keys below / above every range touch nothing.
+    assert(Merge.pruneTouched(files, Seq("doc_0000").toDF("doc_id")).isEmpty)
+    // A key in a gap may only false-positive, never miss: with disjoint
+    // adjacent ranges there is no gap, so an exact boundary hit works.
+    assert(Merge.pruneTouched(files, Seq("doc_000080").toDF("doc_id")) == Set("f8"))
+    // Overlapping files: every file whose range covers the key is touched.
+    val overlapping = Seq(
+      DataFile("g0", 1L, 10L, "doc_a", "doc_m", 1, 9, 10L, "a", "z"),
+      DataFile("g1", 1L, 10L, "doc_f", "doc_z", 1, 9, 10L, "a", "z"),
+      DataFile("g2", 1L, 10L, "doc_t", "doc_z", 1, 9, 10L, "a", "z"))
+    assert(Merge.pruneTouched(overlapping, Seq("doc_g").toDF("doc_id")) ==
+      Set("g0", "g1"))
+  }
 }

@@ -28,18 +28,34 @@ class OpsSpec extends SparkSpec {
 
   test("embedding near-dup detection finds planted duplicates") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    // Plant exact duplicates: vec_id+10000 with identical embedding.
-    val planted = emb.filter($"vec_id" % 50 === 0)
-      .select(($"vec_id" + 10000).as("vec_id"), $"embedding", $"label")
-    val aug = emb.unionByName(planted)
-    val dups = Similarity.embeddingDups(aug, nPlanes = 8, simThreshold = 0.999)
+    // embeddingDups plants exact duplicates internally: vec_id%10==0
+    // re-keyed +10000 with identical embedding.
+    val dups = Similarity.embeddingDups(emb)
       .as[(Long, Long)].collect().toSet
-    val expected = planted.select(($"vec_id" - 10000), $"vec_id")
+    val expected = emb.filter($"vec_id" % 10 === 0)
+      .select($"vec_id", ($"vec_id" + 10000))
       .as[(Long, Long)].collect().toSet
     // Identical vectors always share every LSH bucket -> 100% recall on
-    // exact duplicates.
+    // exact duplicates (quantized cosine of identical vectors is 1).
     assert(expected.subsetOf(dups),
       s"missed ${(expected -- dups).size} of ${expected.size} planted dups")
+  }
+
+  test("simhash hamming join finds exact duplicates and verifies distance") {
+    val aug = Dedup.augmented(spark, dir)
+    val pairs = Dedup.simhashHamming(aug)
+      .select($"a", $"b", $"hamming").as[(Long, Long, Long)].collect()
+    // Exact duplicates (+200000) have identical word multisets -> the
+    // same 60-bit simhash -> hamming 0 -> always in some shared band.
+    val exactPlanted = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % 4 === 0)
+      .select($"doc_id".cast("long"), ($"doc_id" + 200000).cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(exactPlanted.subsetOf(found),
+      s"simhash missed ${(exactPlanted -- found).size} exact duplicates")
+    // Every emitted pair respects the verified hamming bound.
+    assert(pairs.forall(_._3 <= Dedup.SimhashMaxHamming))
   }
 
   test("multimodal: partition-wise feature extraction is deterministic and schema-correct") {
