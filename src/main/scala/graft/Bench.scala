@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * tokens/sec and compaction GB/s (BASELINE.json `metric`).
   *
   * The maintenance cycle runs on a deterministic TokenGen table sized by
-  * SPARK_GRAFT_BENCH_ROWS (default 400k rows, ~38M tokens); the
+  * SPARK_GRAFT_BENCH_ROWS (default 6M rows / ~588M tokens — the
+  * BASELINE.md workload, so driver benches are same-scale); the
   * representative testdata queries run on SPARK_GRAFT_SF_DIR. Scaling
   * evidence (N vs 4N): run this main at SPARK_GRAFT_CPUS=8 and =32 on
   * the same inputs — results recorded in BASELINE.md.
@@ -20,7 +21,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "400000").toLong
+    // Default = BASELINE.md's measured workload (6M rows / ~588M tokens)
+    // so per-round BENCH numbers are a same-scale comparison against the
+    // published medians; round 1 defaulted to 400k and its absolute
+    // throughputs were overhead-dominated (~3x below the 6M medians).
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "6000000").toLong
     // tmpfs when available: the sandbox's single virtual disk serializes
     // concurrent IO and would measure the disk, not the engine (a real
     // cluster has per-node disks/object storage).

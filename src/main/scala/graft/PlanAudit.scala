@@ -52,6 +52,19 @@ object PlanAudit {
         TokenGen.generate(spark, 1000, numPartitions = 2), "offset")
     }
 
+    section("bucket assignment (binary search must stay in the codegen span)") {
+      t.scan().select(graft.functions.SearchOps.bucketOfStr(
+        $"doc_id", Array("doc_000002000", "doc_000004000", "doc_000006000")).as("b"))
+    }
+
+    section("merge pruning (distinct segment agg — must contain NO join of any kind)") {
+      val bounds = t.filesLocal(t.current)
+        .flatMap(f => Seq(f.minDocId, f.maxDocId)).distinct
+        .sorted(graft.functions.Search.utf8Ordering).toArray
+      t.scan().select(graft.functions.SearchOps.bucketOfStr($"doc_id", bounds).as("seg"))
+        .distinct()
+    }
+
     spark.stop()
   }
 }

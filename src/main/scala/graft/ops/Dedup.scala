@@ -47,14 +47,34 @@ object Dedup {
   def hash60Sql(x: String): String =
     s"('0x' || substr(md5($x),1,15))::BIGINT"
 
-  /** 3-word shingles over normalized words; whole text if < 3 words. */
-  def shingles(text: Column): Column = {
-    val w = TextOps.words(text)
+  /** 3-word shingles over a MATERIALIZED word-array column; whole text
+    * if < 3 words. Callers must bind `w` to an attribute (see
+    * [[explodedShingles]]), never pass `TextOps.words(text)` directly:
+    * the lambda references `w` three times per shingle position and
+    * Catalyst does no CSE inside lambda bodies, so an inline regex would
+    * re-scan the text O(3n) times per document.
+    */
+  def shinglesOfWords(w: Column): Column =
     when(size(w) < 3, array(array_join(w, " ")))
       .otherwise(transform(sequence(lit(0), size(w) - 3), i =>
         concat_ws(" ",
           element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
-  }
+
+  /** 3-word shingles from raw text (library convenience; the hot paths
+    * below use [[explodedShingles]] so the word regex runs once per doc).
+    */
+  def shingles(text: Column): Column = shinglesOfWords(TextOps.words(text))
+
+  /** (doc_id, s): one row per distinct shingle. The word array is
+    * materialized in its own projection first — CollapseProject keeps a
+    * non-cheap alias referenced more than once as a real projection
+    * barrier, so the word regex runs ONCE per document and the shingle
+    * lambda reads the array attribute.
+    */
+  private def explodedShingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.words(col("text")).as("__w"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesOfWords(col("__w")))).as("s"))
 
   val ShinglesSql: String =
     """CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) < 3
@@ -98,8 +118,7 @@ object Dedup {
     * (map-side partial agg + a single shuffle on doc_id).
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(array_distinct(shingles(col("text")))).as("s"))
+    val sh = explodedShingles(docs)
       .select(col("doc_id"), pmod(hash60(col("s")), lit(P)).as("hp"))
     val aggs = (0 until MinhashK).map(j =>
       min(pmod(lit(permA(j)) * col("hp") + lit(permB(j)), lit(P))).as(s"sig$j"))
@@ -226,8 +245,7 @@ object Dedup {
     * threshold test (inter*100 >= t100*union).
     */
   def ngramJaccard(docs: DataFrame, thresholdPct: Int = 60): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-      explode(array_distinct(shingles(col("text")))).as("s"))
+    val sh = explodedShingles(docs)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= ShingleDfCap)
       .select(col("doc_id"), col("s"))
