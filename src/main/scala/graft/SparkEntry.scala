@@ -48,6 +48,9 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       ops.Similarity.embeddingDups(s.read.parquet(s"$d/embeddings.parquet"))),
     "multimodal_features" -> ((s, d) => ops.Multimodal.featureSummary(s, d)),
+    "multimodal_frames" -> ((s, d) => ops.Multimodal.frames(s, d)),
+    "sim_ivf_ann" -> ((s, d) =>
+      ops.Similarity.ivfTopK(s.read.parquet(s"$d/embeddings.parquet"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -78,5 +81,7 @@ object SparkEntry {
     "sim_lsh_ann" -> ops.Similarity.lshTopKSql(),
     "dedup_embedding" -> ops.Similarity.embeddingDupsSql(),
     "multimodal_features" -> ops.Multimodal.featureSummarySql,
+    "multimodal_frames" -> ops.Multimodal.framesSql,
+    "sim_ivf_ann" -> ops.Similarity.ivfTopKSql(),
   )
 }

@@ -72,6 +72,73 @@ object Multimodal {
     }
   }
 
+  /** One sampled "frame": a fixed-size window of the payload (the video
+    * frame-sampling analog — every `stride`-th frame is kept).
+    */
+  case class MediaFrame(doc_id: Long, frame_idx: Long, frame_len: Long,
+      frame_first: Long, frame_sum: Long)
+
+  /** Frame sampling: split each payload into frameSize-byte frames and
+    * keep every stride-th one — partition-wise imperative extraction
+    * (the real pipeline would seek keyframes in a container format),
+    * one decoder per partition, rows flat-mapped to frames.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 32,
+      stride: Int = 2): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n = r.media.length
+        (0 until n by frameSize).zipWithIndex.collect {
+          case (off, idx) if idx % stride == 0 =>
+            val end = math.min(off + frameSize, n)
+            var s = 0L; var i = off
+            while (i < end) { s += r.media(i) & 0xff; i += 1 }
+            MediaFrame(r.doc_id, idx, end - off, r.media(off) & 0xff, s)
+        }
+      }
+    }
+  }
+
+  /** Resize (thumbnail) stub: keep every `factor`-th byte — the byte-
+    * domain stand-in for image downsampling (no codecs in the
+    * container); the Spark-side shape (binary in, smaller binary out,
+    * partition-wise) is the real pattern.
+    */
+  def resize(media: Dataset[MediaRow], factor: Int = 4): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = Array.tabulate(
+          (r.media.length + factor - 1) / factor)(i => r.media(i * factor))
+        r.copy(media = out, n_bytes = out.length.toLong)
+      }
+    }
+  }
+
+  /** Driver query: sampled frames of the media table. documents.text is
+    * ASCII, so byte i of the payload == ascii(substr(text, i+1, 1)) and
+    * the oracle reproduces frame windows with substr arithmetic.
+    */
+  def frames(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir))
+      .select(col("doc_id"), col("frame_idx"), col("frame_len"),
+        col("frame_first"), col("frame_sum"))
+
+  val framesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, text, unnest(range(0, (octet_length(encode(text)) + 31) // 32)) AS frame_idx
+      |  FROM documents WHERE octet_length(encode(text)) > 0
+      |)
+      |SELECT doc_id, frame_idx,
+      |  least(32, CAST(octet_length(encode(text)) AS BIGINT) - frame_idx * 32) AS frame_len,
+      |  CAST(ascii(substr(text, CAST(frame_idx * 32 + 1 AS INTEGER), 1)) AS BIGINT) AS frame_first,
+      |  CAST(list_sum(list_transform(
+      |    range(CAST(frame_idx * 32 + 1 AS INTEGER),
+      |          CAST(frame_idx * 32 + least(32, CAST(octet_length(encode(text)) AS BIGINT) - frame_idx * 32) + 1 AS INTEGER)),
+      |    i -> ascii(substr(text, i, 1)))) AS BIGINT) AS frame_sum
+      |FROM f WHERE frame_idx % 2 = 0""".stripMargin
+
   /** Oracle-checkable projection (no float feature columns). */
   def featureSummary(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(spark, dir))

@@ -229,6 +229,97 @@ object Similarity {
        |  FROM scored) WHERE rank <= $k""".stripMargin
   }
 
+  // ----------------------------------------------------------- IVF ANN
+
+  /** ANN via an inverted-file (IVF) index — the second scale path next
+    * to LSH, with opposite trade-offs (data-adaptive cells vs oblivious
+    * hashes):
+    *
+    *  1. nCentroids corpus vectors are picked deterministically (the
+    *     smallest md5-derived hash of vec_id — a seedless stand-in for
+    *     a sampled k-means job, which at 10^12 scale would train on a
+    *     sample and broadcast its centroids exactly like this 16-row
+    *     broadcast);
+    *  2. every vector joins its best centroid (one broadcast join + a
+    *     per-vector top-1 window — the "inverted list" assignment);
+    *  3. each query probes its nProbe nearest cells; candidates are the
+    *     union of those cells' lists, ranked by exact quantized cosine.
+    *
+    * All scoring is the integer-quantized kernel, so the DuckDB oracle
+    * reproduces the result bit-for-bit ([[ivfTopKSql]]). Recall vs
+    * brute force is additionally asserted in OpsSpec.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qe = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nq", qdot(col("q"), col("q")))
+      .filter(col("nq") > 0)
+    val cents = qe
+      .withColumn("ch", Dedup.hash60(concat(lit("c:"), col("vec_id").cast("string"))))
+      .orderBy(col("ch"), col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
+    // Per-(vector, centroid) affinity: cos(v, c) over identical integers
+    // in both engines; nq is constant per vector so it cannot reorder.
+    val scored = qe.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("nq"), col("cid"),
+        (qdot(col("q"), col("cq")).cast("double") /
+          sqrt(col("cnq").cast("double"))).as("affinity"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("affinity").desc, col("cid").asc)
+    val ranked = scored.withColumn("crank", row_number().over(w))
+    val assigned = ranked.filter(col("crank") === 1) // inverted lists
+      .select(col("cid"), col("vec_id"), col("q"), col("nq"))
+    val probes = ranked.filter(col("vec_id") < nQueries && col("crank") <= nProbe)
+      .select(col("cid"), col("vec_id").as("query_id"),
+        col("q").as("qq"), col("nq").as("nqq"))
+    val candidates = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+    val rescored = candidates.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      qsim(qdot(col("qq"), col("q")), col("nqq"), col("nq")).as("sim"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    rescored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+  }
+
+  def ivfTopKSql(nQueries: Int = 5, k: Int = 10,
+      nCentroids: Int = 16, nProbe: Int = 4): String =
+    s"""WITH qe AS (
+       |  SELECT vec_id, $quantizeSql AS q FROM embeddings
+       |), qn AS (
+       |  SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM qe
+       |), qnn AS (SELECT * FROM qn WHERE nq > 0
+       |), cents AS (
+       |  SELECT vec_id AS cid, q AS cq, nq AS cnq FROM qnn
+       |  ORDER BY ('0x' || substr(md5('c:' || vec_id::VARCHAR),1,15))::BIGINT, vec_id
+       |  LIMIT $nCentroids
+       |), ranked AS (
+       |  SELECT v.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / sqrt(CAST(c.cnq AS DOUBLE)) DESC,
+       |                    c.cid ASC) AS crank
+       |  FROM qnn v CROSS JOIN cents c
+       |), assigned AS (
+       |  SELECT cid, vec_id FROM ranked WHERE crank = 1
+       |), probes AS (
+       |  SELECT cid, vec_id AS query_id FROM ranked
+       |  WHERE vec_id < $nQueries AND crank <= $nProbe
+       |), cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM assigned a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id
+       |), scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         CAST(${dotSql("a.q", "b.q")} AS DOUBLE) / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS sim
+       |  FROM cand c JOIN qnn a ON a.vec_id = c.query_id JOIN qnn b ON b.vec_id = c.neighbor_id
+       |)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $k""".stripMargin
+
   // ------------------------------------------------- embedding dedup
 
   val DupBucketCap = 500 // max vectors per LSH bucket before it is dropped

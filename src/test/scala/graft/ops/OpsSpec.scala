@@ -58,6 +58,43 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall(_._3 <= Dedup.SimhashMaxHamming))
   }
 
+  test("IVF ANN achieves useful recall vs brute-force top-k") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 5, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, nQueries = 5, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 4 of 16 cells probed = ~25% of the corpus scanned; near neighbors
+    // concentrate in nearby cells, so recall must beat the scan rate.
+    assert(recall >= 0.3, s"IVF recall $recall vs brute force")
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("multimodal: frame sampling and resize preserve byte-level invariants") {
+    val media = Multimodal.mediaTable(spark, dir)
+    val frames = Multimodal.sampleFrames(media, frameSize = 32, stride = 2).collect()
+    assert(frames.nonEmpty)
+    // Every sampled frame index is even (stride 2) and <= frameSize long.
+    assert(frames.forall(f => f.frame_idx % 2 == 0 && f.frame_len <= 32 && f.frame_len > 0))
+    // Frame sums reconstruct from the source payload exactly.
+    val payloads = media.collect().map(r => r.doc_id -> r.media).toMap
+    frames.take(50).foreach { f =>
+      val p = payloads(f.doc_id)
+      val off = (f.frame_idx * 32).toInt
+      val expected = p.slice(off, off + f.frame_len.toInt).map(_ & 0xff).map(_.toLong).sum
+      assert(f.frame_sum == expected, s"doc ${f.doc_id} frame ${f.frame_idx}")
+    }
+    // Resize keeps every 4th byte; length is ceil(n/4).
+    val resized = Multimodal.resize(media, factor = 4).collect().map(r => r.doc_id -> r).toMap
+    payloads.foreach { case (id, p) =>
+      val r = resized(id)
+      assert(r.media.length == (p.length + 3) / 4)
+      assert(r.n_bytes == r.media.length.toLong)
+      r.media.zipWithIndex.foreach { case (b, i) => assert(b == p(i * 4)) }
+    }
+  }
+
   test("multimodal: partition-wise feature extraction is deterministic and schema-correct") {
     val media = Multimodal.mediaTable(spark, dir)
     val feats = Multimodal.extractFeatures(media)
