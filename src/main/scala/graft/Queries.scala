@@ -168,6 +168,27 @@ object Queries {
       |       CAST(coalesce(sum(len(regexp_extract_all(text, '\S+'))), 0) AS BIGINT) AS tokens_total
       |FROM documents""".stripMargin
 
+  /** M5 time travel, driver-visible: scan the PRE-merge snapshot after
+    * a merge has rewritten the current version. The historical scan
+    * must equal the direct tokenization of the input even though the
+    * live table no longer does — copy-on-write means old versions stay
+    * byte-exact until expired.
+    */
+  def m5TimeTravelScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(spark, dir, "m5t", commits = 4)
+    val vIngested = t.currentVersion
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val updates = docs.filter(col("doc_id") % 3 === 0).select(
+      format_string("doc_%012d", col("doc_id")).as("doc_id"),
+      array(lit(9), lit(9)).as("tokens"),
+      lit(2).as("n_tok"),
+      col("source"))
+      .withColumn("precedence", monotonically_increasing_id())
+    Merge.mergeInto(t, updates, "precedence", "q-m5t")
+    require(t.currentVersion > vIngested, "merge must commit a new version")
+    scanProjection(t.scan(t.snapshotAt(vIngested)))
+  }
+
   def m4ExpireScan(spark: SparkSession, dir: String): DataFrame = {
     val t = buildTable(spark, dir, "m4", commits = 6)
     Compact.run(t, targetBytes = 8L * 1024 * 1024, jobId = "q-m4")

@@ -24,6 +24,7 @@ object SparkEntry {
     "m2_hilbert_scan" -> ((s, d) => Queries.m2HilbertScan(s, d)),
     "m6_merge_scan" -> ((s, d) => Queries.m6MergeScan(s, d)),
     "m4_expire_scan" -> ((s, d) => Queries.m4ExpireScan(s, d)),
+    "m5_timetravel_scan" -> ((s, d) => Queries.m5TimeTravelScan(s, d)),
     "m2_docid_cluster_scan" -> ((s, d) => Queries.m2DocIdClusterScan(s, d)),
     "m7_lineage_metrics" -> ((s, d) => Queries.m7LineageMetrics(s, d)),
     // Reference-pipeline operators (SURVEY.md §2)
@@ -62,6 +63,7 @@ object SparkEntry {
     "m2_hilbert_scan" -> Queries.tokenizedDocsSql,
     "m6_merge_scan" -> Queries.m6MergeSql,
     "m4_expire_scan" -> Queries.tokenizedDocsSql,
+    "m5_timetravel_scan" -> Queries.tokenizedDocsSql,
     "m2_docid_cluster_scan" -> Queries.tokenizedDocsSql,
     "m7_lineage_metrics" -> Queries.m7Sql,
     "d1_dedup_firstwins" -> Queries.d1Sql,
