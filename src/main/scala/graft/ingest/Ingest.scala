@@ -174,6 +174,19 @@ object Ingest {
     // not re-read + re-parse the source for each one.
     val fresh = filtered.drop("__tp")
       .as[RawMessage].cache()
+    try ingestFresh(table, msgs, fresh, parent, deadLetterDir)
+    finally fresh.unpersist()
+  }
+
+  /** The cached-batch pipeline (split out so the cache is released on
+    * EVERY exit — a rebase-guard abort is an expected outcome under
+    * concurrent writers and must not leak executor storage).
+    */
+  private def ingestFresh(table: TokenTable, msgs: Dataset[RawMessage],
+      fresh: Dataset[RawMessage], parent: Option[Snapshot],
+      deadLetterDir: Option[String]): IngestResult = {
+    val spark = table.spark
+    import spark.implicits._
     val replayFiltered = msgs.count() - fresh.count()
 
     // This batch's per-partition offset ranges (max advances the
@@ -188,16 +201,22 @@ object Ingest {
     val (valid, dead) = parse(fresh)
     // Count THIS batch's dead letters (the DLQ dir is cumulative).
     val deadCount = dead.count()
-    if (deadCount > 0) deadLetterDir.foreach { dir =>
-      // Deterministic per-batch subdirectory + overwrite: a crash
-      // between this write and the snapshot commit leaves the watermark
-      // unadvanced, so the retried batch re-writes the SAME path instead
-      // of appending duplicate dead letters. Read the DLQ dir with
-      // recursiveFileLookup=true.
-      val tag = java.lang.Long.toHexString(
-        ranges.sortBy(_._1).mkString(";").hashCode.toLong & 0xffffffffL)
-      dead.write.mode("overwrite").parquet(s"$dir/batch-$tag")
-    }
+    // Deterministic per-batch subdirectory + overwrite: a crash between
+    // this write and the snapshot commit leaves the watermark
+    // unadvanced, so the retried (byte-identical) batch re-writes the
+    // SAME path instead of appending duplicate dead letters. The tag is
+    // a full md5 of the batch's offset ranges — a 32-bit hash would
+    // birthday-collide across a long-lived DLQ dir and overwrite would
+    // silently erase an unrelated batch's dead letters. Read the DLQ
+    // dir with recursiveFileLookup=true.
+    val dlqPath: Option[String] =
+      if (deadCount > 0) deadLetterDir.map { dir =>
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(ranges.sortBy(_._1).mkString(";").getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        s"$dir/batch-$tag"
+      } else None
+    dlqPath.foreach(p => dead.write.mode("overwrite").parquet(p))
     val deduped = dedupFirstWins(valid)
     val validCount = valid.count()
     val rows = deduped
@@ -221,18 +240,36 @@ object Ingest {
         s"ingest rebase would double-append offsets already committed by a " +
           s"concurrent writer for partitions ${overlap.mkString(", ")}")
     }
-    val snap = table.commit(parent, "ingest",
-      addManifests = Seq(manifest),
-      keepManifests = parent.map(_.manifests).getOrElse(Nil),
-      removedPaths = Set.empty,
-      summary = Map(
-        graft.table.Format.WatermarksKey ->
-          graft.table.Format.encodeWatermarks(newWm),
-        "added-rows" -> added.map(_.rows).sum.toString,
-        "dead-letters" -> deadCount.toString),
-      maxAttempts = 64,
-      rebaseGuard = Some(guard))
-    fresh.unpersist()
+    val snap =
+      try table.commit(parent, "ingest",
+        addManifests = Seq(manifest),
+        keepManifests = parent.map(_.manifests).getOrElse(Nil),
+        removedPaths = Set.empty,
+        summary = Map(
+          graft.table.Format.WatermarksKey ->
+            graft.table.Format.encodeWatermarks(newWm),
+          "added-rows" -> added.map(_.rows).sum.toString,
+          "dead-letters" -> deadCount.toString),
+        maxAttempts = 64,
+        rebaseGuard = Some(guard))
+      catch {
+        case e: graft.table.CommitConflictException =>
+          // The batch did not commit: remove ITS dead-letter dir (a
+          // retry sees a different watermark -> different surviving
+          // offsets -> a different tag, so the stale dir would
+          // double-count every dead letter it shares with the retry).
+          dlqPath.foreach { p =>
+            val root = java.nio.file.Paths.get(p)
+            if (java.nio.file.Files.exists(root)) {
+              val st = java.nio.file.Files.walk(root)
+                .sorted(java.util.Comparator.reverseOrder())
+              try st.iterator().forEachRemaining(q =>
+                java.nio.file.Files.deleteIfExists(q))
+              finally st.close()
+            }
+          }
+          throw e
+      }
     val appended = added.map(_.rows).sum
     IngestResult(snap, appended, validCount - appended, deadCount, replayFiltered)
   }

@@ -32,12 +32,15 @@ import org.apache.spark.sql.types._
   */
 object TypedParse {
 
-  /** RFC3339 with optional fractional seconds and Z / numeric offset. */
-  val Rfc3339: String = "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]"
-
+  /** No explicit timestampFormat: Spark's default JSON timestamp path
+    * is the lenient ISO-8601 parser, which accepts RFC3339 with ANY
+    * fractional-second width (.1, .123, .123456) and Z / numeric
+    * offsets. A pattern like "[.SSSSSS]" would be EXACT-width — a
+    * millisecond timestamp (the most common RFC3339 form) would be
+    * dead-lettered as TypeMismatch.
+    */
   def defaultOptions: Map[String, String] = Map(
-    "dateFormat" -> "yyyy-MM-dd",
-    "timestampFormat" -> Rfc3339)
+    "dateFormat" -> "yyyy-MM-dd")
 
   /** Parse `value` (JSON string) of each message against `schema`.
     * Returns (valid rows: message metadata + one typed column per

@@ -75,10 +75,13 @@ object Expire {
         try st.iterator().asScala.map(p => root.relativize(p).toString).toSeq
         finally st.close()
       }
-    // (unit, dirsOnly): data units list parquet files; the metadata dir
-    // lists manifest dirs.
-    val units = firstLevel(Format.DataDir).map(u => (u, false)) :+
-      ((Format.Metadata, true))
+    // (unit, dirsOnly): data units list parquet files; each manifest
+    // dir is ITS OWN unit (walking the whole metadata tree as one unit
+    // would serialize O(#snapshots x #manifest-files) paths through a
+    // single straggler task). walkUnit on a manifest dir emits the dir
+    // itself; version JSONs are not directories and emit nothing.
+    val units = firstLevel(Format.DataDir).map(u => (u, false)) ++
+      firstLevel(Format.Metadata).map(u => (u, true))
     val rootStr = root.toString
     val par = math.max(1, math.min(units.size, spark.sparkContext.defaultParallelism))
     spark.createDataset(units)

@@ -209,13 +209,24 @@ object Dedup {
     * equal-hash grouping above is its hamming-0 special case.
     */
   def simhashHamming(docs: DataFrame, maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    // Pigeonhole needs maxHamming+1 bands: k differing bits spread over
+    // k+1 bands always leave one band untouched. Deriving the band
+    // count from the parameter (instead of a fixed 4) keeps the
+    // guarantee for ANY requested distance; a caller passing 4 with 4
+    // fixed bands would silently lose pairs whose 4 flipped bits land
+    // one per band.
+    val nBands = maxHamming + 1
+    require(nBands >= 1 && nBands <= SimhashBits,
+      s"maxHamming must be in [0, ${SimhashBits - 1}]")
+    // Even partition of the 60 bits: band b covers
+    // [b*60/nBands, (b+1)*60/nBands) — every band non-empty, exact cover.
     val s = simhashed(docs)
-    val nBands = SimhashBits / SimhashBandBits
-    val mask = (1L << SimhashBandBits) - 1
     val bands = s.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until nBands).map(b =>
-        shiftright(col("simhash"), b * SimhashBandBits).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band_idx", "band_val")))
+      posexplode(array((0 until nBands).map { b =>
+        val lo = b * SimhashBits / nBands
+        val width = (b + 1) * SimhashBits / nBands - lo
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("band_idx", "band_val")))
     val capped = bands
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_val"))))

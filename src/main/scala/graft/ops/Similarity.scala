@@ -55,17 +55,21 @@ object Similarity {
 
   /** Input with planted duplicates so the dedup query has true
     * positives (the driver's embeddings table has none): every 10th
-    * vector is duplicated verbatim under vec_id+10000. Mirrored 1:1 in
+    * vector is duplicated verbatim under vec_id+1000000 (same id-offset
+    * margin as Dedup.augmented — large enough that planted ids cannot
+    * collide with real vec_ids at any fixture scale). Mirrored 1:1 in
     * [[augEmbSql]].
     */
+  val PlantedIdOffset = 1000000L
+
   def augmentedEmb(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), col("embedding"))
       .unionByName(emb.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+        .select((col("vec_id") + PlantedIdOffset).as("vec_id"), col("embedding")))
 
   val augEmbSql: String =
-    """(SELECT vec_id, embedding FROM embeddings
-      | UNION ALL SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin.replace("\n", "")
+    s"""(SELECT vec_id, embedding FROM embeddings
+       | UNION ALL SELECT vec_id + $PlantedIdOffset, embedding FROM embeddings WHERE vec_id % 10 = 0)""".stripMargin.replace("\n", "")
 
   // ------------------------------------------------------- brute force
 

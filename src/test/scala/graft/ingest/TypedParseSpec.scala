@@ -52,6 +52,26 @@ class TypedParseSpec extends SparkSpec {
     assert(r.getAs[Map[String, Long]]("m") == Map("a" -> 7L, "b" -> 8L))
   }
 
+  test("RFC3339 timestamps parse at any fractional-second width") {
+    val cases = Seq(
+      0L -> ("2024-03-05T12:34:56Z", 0L),
+      1L -> ("2024-03-05T12:34:56.1Z", 100000L),
+      2L -> ("2024-03-05T12:34:56.123Z", 123000L),
+      3L -> ("2024-03-05T12:34:56.123456Z", 123456L),
+      4L -> ("2024-03-05T13:34:56+01:00", 0L)) // offset form, same instant
+    val base = java.time.Instant.parse("2024-03-05T12:34:56Z").getEpochSecond * 1000000L
+    val msgs = cases.map { case (o, (ts, _)) =>
+      msg(o, full.replace("2024-03-05T12:34:56.123456Z", ts))
+    }.toDS()
+    val (valid, dead) = TypedParse.parse(msgs, schema)
+    assert(dead.count() == 0, dead.collect().map(_.error).mkString("; "))
+    val got = valid.select($"offset", unix_micros($"ts")).as[(Long, Long)]
+      .collect().toMap
+    cases.foreach { case (o, (_, frac)) =>
+      assert(got(o) == base + frac, s"offset $o")
+    }
+  }
+
   test("explicit JSON null is a legal value for any type (TypedValue::Null)") {
     val nulls =
       """{"s":null,"b":null,"i":null,"f":null,"d":null,"ts":null,

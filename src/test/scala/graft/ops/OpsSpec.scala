@@ -33,7 +33,7 @@ class OpsSpec extends SparkSpec {
     val dups = Similarity.embeddingDups(emb)
       .as[(Long, Long)].collect().toSet
     val expected = emb.filter($"vec_id" % 10 === 0)
-      .select($"vec_id", ($"vec_id" + 10000))
+      .select($"vec_id", ($"vec_id" + Similarity.PlantedIdOffset))
       .as[(Long, Long)].collect().toSet
     // Identical vectors always share every LSH bucket -> 100% recall on
     // exact duplicates (quantized cosine of identical vectors is 1).
