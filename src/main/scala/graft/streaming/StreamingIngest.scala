@@ -4,7 +4,14 @@ import graft.ingest.{Ingest, RawMessage}
 import graft.table.TokenTable
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** A detected discontinuity in a partition's offset sequence. */
+case class OffsetGap(topic: String, partition: Int,
+    expectedFrom: Long, got: Long, missing: Long)
+
+/** Per-(topic,partition) stream-monitor state: highest offset seen. */
+case class PartitionCursor(lastOffset: Long)
 
 /** Structured-Streaming ingest — the reference's continuous consumer
   * loop (`/root/reference/src/kafka/mod.rs:159-241`) re-expressed:
@@ -47,6 +54,40 @@ object StreamingIngest {
       keyCol: String, delay: String): DataFrame =
     msgs.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Continuous offset-gap detection via `flatMapGroupsWithState` —
+    * custom keyed state the built-in operators cannot express (the
+    * expected-next-offset cursor must SURVIVE across micro-batches).
+    * The reference only gauges offset lag after each commit
+    * (`/root/reference/src/kafka/mod.rs:197-209`); this also catches
+    * holes: for each (topic, partition) group the state holds the
+    * highest offset seen, and any batch whose offsets jump past
+    * `last+1` emits an [[OffsetGap]] row (lost messages / compacted
+    * ranges). Replayed offsets (<= last) emit nothing — redelivery is
+    * normal at-least-once behavior, not a gap.
+    *
+    * Scale path: state is one long per topic-partition (thousands of
+    * entries, trivially in the state store); the shuffle key is the
+    * partition id, so the monitor adds exactly one keyed exchange.
+    */
+  def offsetGapMonitor(msgs: Dataset[RawMessage]): Dataset[OffsetGap] = {
+    import msgs.sparkSession.implicits._
+    msgs.groupByKey(m => (m.topic, m.partition))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Int), it: Iterator[RawMessage],
+         state: GroupState[PartitionCursor]) =>
+          val sorted = it.map(_.offset).toArray.sorted
+          var last = state.getOption.map(_.lastOffset).getOrElse(-1L)
+          val gaps = Seq.newBuilder[OffsetGap]
+          sorted.foreach { o =>
+            if (o > last + 1)
+              gaps += OffsetGap(key._1, key._2, last + 1, o, o - last - 1)
+            if (o > last) last = o
+          }
+          state.update(PartitionCursor(last))
+          gaps.result().iterator
+      }
+  }
 
   /** Windowed event-time aggregation over a message stream: rows per
     * key per tumbling window — the streaming metrics analog of the

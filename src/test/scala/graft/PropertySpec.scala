@@ -1,0 +1,128 @@
+package graft
+
+import graft.functions.{Keys, Search}
+import graft.maintain.Compact
+import graft.table.DataFile
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based tests (SURVEY.md §5.2 item 4) via raw ScalaCheck
+  * (driven through Test.check — the scalatestplus bridge is not in the
+  * offline cache). Pure driver-side properties: bin packing, binary
+  * search, curve-key bijectivity, first-wins dedup vs an in-memory
+  * reference model.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private def file(path: String, bytes: Long): DataFile =
+    DataFile(path, bytes, rows = 1L, minDocId = path, maxDocId = path,
+      minNtok = 1, maxNtok = 1, sumNtok = 1L, minSource = "a", maxSource = "a")
+
+  test("bin packing: bins never exceed capacity, cover candidates exactly once, deterministic") {
+    val gen = for {
+      target <- Gen.choose(100L, 10000L)
+      sizes <- Gen.listOfN(60, Gen.choose(1L, 12000L))
+    } yield (target, sizes)
+    check("planBins", Prop.forAll(gen) { case (target, sizes) =>
+      val files = sizes.zipWithIndex.map { case (b, i) => file(f"f$i%03d", b) }
+      val bins = Compact.planBins(files, target)
+      val threshold = (target * 0.75).toLong
+      val packed = bins.flatten.map(_.path)
+      // Each bin fits unless a single candidate alone exceeds target
+      // (cannot happen: candidates are < 0.75*target by construction).
+      bins.forall(_.map(_.bytes).sum <= target) &&
+        bins.forall(_.size >= 2) &&
+        packed.distinct.size == packed.size &&
+        bins.flatten.forall(_.bytes < threshold) &&
+        Compact.planBins(files, target) == bins // deterministic
+    })
+  }
+
+  test("upperBound == #(bounds <= key) for longs and UTF8 strings") {
+    val genL = for {
+      bounds <- Gen.listOf(Gen.choose(-1000L, 1000L)).map(_.distinct.sorted)
+      key <- Gen.choose(-1100L, 1100L)
+    } yield (bounds.toArray, key)
+    check("upperBoundLong", Prop.forAll(genL) { case (bounds, key) =>
+      Search.upperBoundLong(bounds, key) == bounds.count(_ <= key)
+    })
+    val genS = for {
+      bounds <- Gen.listOf(Gen.alphaNumStr.map(_.take(6)))
+        .map(_.distinct.sorted(Search.utf8Ordering))
+      key <- Gen.alphaNumStr.map(_.take(6))
+    } yield (bounds.toArray, key)
+    check("upperBoundUtf8", Prop.forAll(genS) { case (bounds, key) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      Search.upperBoundUtf8(bounds.map(UTF8String.fromString),
+        UTF8String.fromString(key)) ==
+        bounds.count(b => Search.utf8Ordering.lteq(b, key))
+    })
+  }
+
+  test("hilbert index round-trips through hilbertCoords (bijection) for random coords") {
+    val bits = 6
+    val gen = Gen.listOfN(3, Gen.choose(0L, (1L << bits) - 1)).map(_.toArray)
+    check("hilbert", Prop.forAll(gen) { dims =>
+      val idx = Keys.hilbertIndex(dims, bits)
+      idx >= 0 && idx < (1L << (3 * bits)) &&
+        Keys.hilbertCoords(idx, 3, bits).toSeq == dims.toSeq
+    })
+  }
+
+  test("zInterleave is injective and order-preserving per dimension") {
+    val bits = 6
+    val gen = for {
+      a <- Gen.listOfN(3, Gen.choose(0L, (1L << bits) - 1)).map(_.toArray)
+      b <- Gen.listOfN(3, Gen.choose(0L, (1L << bits) - 1)).map(_.toArray)
+    } yield (a, b)
+    check("zInterleave", Prop.forAll(gen) { case (a, b) =>
+      val (za, zb) = (Keys.zInterleave(a, bits), Keys.zInterleave(b, bits))
+      // Injective: equal keys iff equal coords.
+      ((za == zb) == a.sameElements(b)) &&
+        // Monotone in each dim with the others held fixed.
+        (0 until 3).forall { d =>
+          val hi = a.clone(); hi(d) = math.min(a(d) + 1, (1L << bits) - 1)
+          Keys.zInterleave(hi, bits) >= za
+        }
+    })
+  }
+
+  test("first-wins dedup model: lowest offset wins per key, offsets unique per (topic,partition)") {
+    // In-memory reference model of Ingest.dedupFirstWins for inputs
+    // where same-(topic,partition,offset) records are byte-identical
+    // (the payload tie-break only matters for conflicting payloads,
+    // which need Spark's xxhash64 — covered by IngestSpec instead).
+    case class R(topic: String, partition: Int, offset: Long, key: String)
+    val genR = for {
+      topic <- Gen.oneOf("t", "u")
+      part <- Gen.choose(0, 2)
+      offset <- Gen.choose(0L, 20L)
+    } yield
+      // Key derived from (topic, partition, offset): same-offset
+      // duplicates are byte-identical (redelivery), many offsets share
+      // a key (cross-offset key dedup still exercised).
+      R(topic, part, offset, s"doc_${(offset * 7 + part * 3 + topic(0).toInt) % 9}")
+    check("dedupModel", Prop.forAll(Gen.listOfN(40, genR)) { rs =>
+      // model: per (t,p,o) one survivor (identical payloads), then per
+      // key the lowest (offset, topic, partition).
+      val perOffset = rs.groupBy(r => (r.topic, r.partition, r.offset))
+        .values.map(_.head).toSeq
+      val model = perOffset.groupBy(_.key).values
+        .map(_.minBy(r => (r.offset, r.topic, r.partition))).toSet
+      val spark = SparkSpec.session
+      import spark.implicits._
+      val df = rs.map(r => (r.topic, r.partition, r.offset, r.key, r.key))
+        .toDF("topic", "partition", "offset", "doc_id", "payload")
+      val got = graft.ingest.Ingest.dedupFirstWins(df)
+        .select($"topic", $"partition", $"offset", $"doc_id")
+        .as[(String, Int, Long, String)].collect()
+        .map(t => R(t._1, t._2, t._3, t._4)).toSet
+      got == model
+    })
+  }
+}

@@ -20,6 +20,37 @@ class StreamingSpec extends SparkSpec {
     (lo until hi).map(i =>
       RawMessage("t", 0, i, Some(s"doc_$i"), good.format(s"doc_$i", i)))
 
+  test("offset-gap monitor: state survives micro-batches, gaps flagged, replays ignored") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[RawMessage]
+    val gaps = StreamingIngest.offsetGapMonitor(source.toDS())
+    val q = gaps.writeStream.format("memory").queryName("gaps")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0L)).start()
+    try {
+      // Batch 1: contiguous from 0 on two partitions -> no gaps.
+      source.addData(msgs(0, 3) ++ (0L until 2L).map(i =>
+        RawMessage("t", 1, i, Some(s"p1_$i"), good.format(s"p1_$i", i))))
+      q.processAllAvailable()
+      assert(spark.table("gaps").count() == 0)
+      // Batch 2: partition 0 jumps 3,4 -> one gap; partition 1 continues.
+      source.addData(msgs(5, 7) :+
+        RawMessage("t", 1, 2, Some("p1_2"), good.format("p1_2", 2)))
+      q.processAllAvailable()
+      val g = spark.table("gaps")
+        .as[OffsetGap].collect()
+      assert(g.toSeq == Seq(OffsetGap("t", 0, 3, 5, 2)), g.mkString(","))
+      // Batch 3: replayed offset 1 (redelivery, not a gap) + contiguous 7.
+      source.addData(msgs(1, 2) ++ msgs(7, 8))
+      q.processAllAvailable()
+      assert(spark.table("gaps").count() == 1, "replay must not flag a gap")
+      // Batch 4: a second hole in the same partition uses the UPDATED cursor.
+      source.addData(msgs(10, 11))
+      q.processAllAvailable()
+      val g2 = spark.table("gaps").as[OffsetGap].collect().sortBy(_.got)
+      assert(g2.toSeq == Seq(OffsetGap("t", 0, 3, 5, 2), OffsetGap("t", 0, 8, 10, 2)))
+    } finally q.stop()
+  }
+
   test("streaming ingest: micro-batches append atomically; replayed offsets are no-ops") {
     val dir = tmpDir("stream-tbl")
     val t = TokenTable.create(spark, dir)
