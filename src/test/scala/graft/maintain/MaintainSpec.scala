@@ -144,6 +144,51 @@ class MaintainSpec extends SparkSpec {
     assert(out == Map("doc_a" -> 1, "doc_b" -> 1))
   }
 
+  test("compaction races a live appender: rewrite aborts + re-plans, no rows lost or duplicated") {
+    val dir = tmpDir("race-compact")
+    val t = TokenTable.create(spark, dir)
+    (0 until 4).foreach { i =>
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 300, idOffset = i * 300L, numPartitions = 2)))
+    }
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val appender = Future {
+      val t2 = TokenTable.open(spark, dir)
+      (0 until 3).foreach { i =>
+        t2.append(TokenGen.asTokenRows(TokenGen.generate(
+          spark, 200, idOffset = 10000L + i * 200L, numPartitions = 2)))
+      }
+    }
+    val compactor = Future {
+      val t3 = TokenTable.open(spark, dir)
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        try {
+          // Version-scoped execId -> every retry re-plans against the
+          // snapshot that beat it (fresh plan, fresh output dirs).
+          Compact.run(t3, targetBytes = 64L * 1024 * 1024, jobId = "race-c")
+          done = true
+        } catch {
+          case _: graft.table.CommitConflictException if attempts < 10 => ()
+        }
+      }
+      attempts
+    }
+    Await.result(appender, Duration.Inf)
+    val attempts = Await.result(compactor, Duration.Inf)
+    pool.shutdown()
+    // Every ingested row exactly once, whatever the interleaving.
+    val ids = t.scan().select(org.apache.spark.sql.functions.col("doc_id"))
+    assert(ids.count() == 1800, s"rows lost/duplicated (compact attempts=$attempts)")
+    assert(ids.distinct().count() == 1800)
+  }
+
   test("expiry + orphan GC: old snapshots and unreachable files deleted, state intact") {
     val t = smallFileTable(commits = 5, rowsPerCommit = 100)
     Compact.run(t, 4L * 1024 * 1024, "job-c-exp") // makes originals unreachable
