@@ -189,18 +189,36 @@ object Cluster {
     val totalRows = all.map(_.rows).sum
     val buckets = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-    val dict = timing("dict") {
-      table.scan().select($"source").distinct().as[String]
-        .collect().sorted.zipWithIndex.toMap
+    // Source dictionary WITHOUT a full-table distinct scan (at 100 TB
+    // even a single-column pass is a TB-scale read): the sample below
+    // plus every file's manifest min/max source covers the dictionary;
+    // a source that is neither sampled nor any file's boundary maps to
+    // code 0 — a layout-quality effect only (state preservation is
+    // oracle-checked regardless), vanishingly rare because a source
+    // missing from a 200k sample is itself rare.
+    val fraction = math.min(1.0, 200000.0 / math.max(1L, totalRows))
+    val sampled = timing("sample") {
+      table.scan().select($"doc_id", $"source", $"n_tok")
+        .sample(withReplacement = false, fraction, seed = 42L)
+        .collect()
     }
+    val dict = (sampled.map(_.getString(1)).toSet ++
+      all.flatMap(f => Seq(f.minSource, f.maxSource)).filter(_ != null))
+      .toSeq.sorted.zipWithIndex.toMap
     val maxNtok = all.map(_.maxNtok).max
     val keyed = table.scan().withColumn("ckey", curveKey(curve, dict, maxNtok))
 
-    // Sample once; reuse for boundaries and skew detection.
-    val fraction = math.min(1.0, 200000.0 / math.max(1L, totalRows))
-    val sampleKeys = timing("sample") {
-      keyed.select($"ckey")
-        .sample(withReplacement = false, fraction, seed = 42L)
+    // Re-derive sampled curve keys through Spark (same expression the
+    // full scan uses — never a driver-side reimplementation of
+    // xxhash64/interleave) on the tiny collected sample.
+    val sampleKeys = timing("sample-keys") {
+      val sdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(sampled.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_tok", org.apache.spark.sql.types.IntegerType))))
+      sdf.select(curveKey(curve, dict, maxNtok).as("ckey"))
         .as[Long].collect().sorted
     }
     val boundaries: Array[Long] =
