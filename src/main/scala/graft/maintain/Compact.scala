@@ -49,8 +49,14 @@ object Compact {
     * outputs are reused from the lineage markers) and still produces a
     * single snapshot.
     */
+  /** @param beforeCommit test seam invoked after all bins are written,
+    *        immediately before the snapshot commit — lets specs inject a
+    *        concurrent commit DETERMINISTICALLY to exercise the
+    *        conflict-abort-replan path (a purely racy test can pass
+    *        without ever hitting it). No-op in production.
+    */
   def run(table: TokenTable, targetBytes: Long, jobId: String,
-      parallelism: Int = 8): Result = {
+      parallelism: Int = 8, beforeCommit: () => Unit = () => ()): Result = {
     val spark = table.spark
     val parent = table.current
     // Scope the execution to the snapshot it plans against: a re-run
@@ -107,6 +113,7 @@ object Compact {
     val rewrittenPaths = tasks.flatMap(_._2).toSet
     val survivors = all.filterNot(f => rewrittenPaths.contains(f.path))
     val newFiles = outputs.flatten
+    beforeCommit()
     val manifest = table.writeManifest(survivors ++ newFiles)
     val snap = table.commit(
       Some(parent), "compact",

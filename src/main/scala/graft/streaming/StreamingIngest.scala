@@ -77,7 +77,12 @@ object StreamingIngest {
         (key: (String, Int), it: Iterator[RawMessage],
          state: GroupState[PartitionCursor]) =>
           val sorted = it.map(_.offset).toArray.sorted
-          var last = state.getOption.map(_.lastOffset).getOrElse(-1L)
+          // First sighting of a partition seeds the cursor at its first
+          // observed offset WITHOUT flagging: a consumer legitimately
+          // attaches mid-stream (retention deleted the head, or it
+          // starts from a committed offset) — that is not data loss.
+          var last = state.getOption.map(_.lastOffset)
+            .getOrElse(if (sorted.nonEmpty) sorted.head else -1L)
           val gaps = Seq.newBuilder[OffsetGap]
           sorted.foreach { o =>
             if (o > last + 1)

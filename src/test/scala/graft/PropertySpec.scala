@@ -14,8 +14,8 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PropertySpec extends AnyFunSuite {
 
-  private def check(name: String, p: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+  private def check(name: String, p: Prop, cases: Int = 200): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(cases), p)
     assert(res.passed, s"$name: $res")
   }
 
@@ -33,12 +33,19 @@ class PropertySpec extends AnyFunSuite {
       val bins = Compact.planBins(files, target)
       val threshold = (target * 0.75).toLong
       val packed = bins.flatten.map(_.path)
+      val candidates = files.filter(_.bytes < threshold)
       // Each bin fits unless a single candidate alone exceeds target
       // (cannot happen: candidates are < 0.75*target by construction).
       bins.forall(_.map(_.bytes).sum <= target) &&
         bins.forall(_.size >= 2) &&
         packed.distinct.size == packed.size &&
         bins.flatten.forall(_.bytes < threshold) &&
+        // Existence: whenever the two smallest candidates fit together,
+        // FFD must pack SOMETHING (a regression that silently drops all
+        // work would pass the subset checks above).
+        (candidates.size < 2 ||
+          candidates.map(_.bytes).sorted.take(2).sum > target ||
+          bins.nonEmpty) &&
         Compact.planBins(files, target) == bins // deterministic
     })
   }
@@ -107,6 +114,8 @@ class PropertySpec extends AnyFunSuite {
       // duplicates are byte-identical (redelivery), many offsets share
       // a key (cross-offset key dedup still exercised).
       R(topic, part, offset, s"doc_${(offset * 7 + part * 3 + topic(0).toInt) % 9}")
+    // 30 cases: each runs real Spark jobs; the discrete generator space
+    // (2 topics x 3 partitions x 21 offsets) saturates quickly.
     check("dedupModel", Prop.forAll(Gen.listOfN(40, genR)) { rs =>
       // model: per (t,p,o) one survivor (identical payloads), then per
       // key the lowest (offset, topic, partition).
@@ -123,6 +132,6 @@ class PropertySpec extends AnyFunSuite {
         .as[(String, Int, Long, String)].collect()
         .map(t => R(t._1, t._2, t._3, t._4)).toSet
       got == model
-    })
+    }, cases = 30)
   }
 }

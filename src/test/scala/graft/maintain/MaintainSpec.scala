@@ -144,6 +144,34 @@ class MaintainSpec extends SparkSpec {
     assert(out == Map("doc_a" -> 1, "doc_b" -> 1))
   }
 
+  test("compaction abort-and-replan is exercised deterministically (beforeCommit seam)") {
+    val dir = tmpDir("det-conflict")
+    val t = TokenTable.create(spark, dir)
+    (0 until 3).foreach { i =>
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 200, idOffset = i * 200L, numPartitions = 2)))
+    }
+    // First attempt: an append lands between bin writes and the commit
+    // -> the rewrite MUST abort (its survivor list is stale). Retry
+    // re-plans against the new snapshot and succeeds.
+    var injected = false
+    def inject(): Unit = if (!injected) {
+      injected = true
+      TokenTable.open(spark, dir).append(TokenGen.asTokenRows(
+        TokenGen.generate(spark, 150, idOffset = 9000L, numPartitions = 1)))
+    }
+    intercept[graft.table.CommitConflictException] {
+      Compact.run(t, targetBytes = 64L * 1024 * 1024, jobId = "det-c",
+        beforeCommit = () => inject())
+    }
+    val res = Compact.run(t, targetBytes = 64L * 1024 * 1024, jobId = "det-c",
+      beforeCommit = () => inject())
+    assert(res.binsRewritten > 0)
+    val ids = t.scan().select(org.apache.spark.sql.functions.col("doc_id"))
+    assert(ids.count() == 750 && ids.distinct().count() == 750,
+      "abort-and-replan must neither lose nor duplicate the injected append")
+  }
+
   test("compaction races a live appender: rewrite aborts + re-plans, no rows lost or duplicated") {
     val dir = tmpDir("race-compact")
     val t = TokenTable.create(spark, dir)

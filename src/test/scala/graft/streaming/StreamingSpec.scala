@@ -48,6 +48,18 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val g2 = spark.table("gaps").as[OffsetGap].collect().sortBy(_.got)
       assert(g2.toSeq == Seq(OffsetGap("t", 0, 3, 5, 2), OffsetGap("t", 0, 8, 10, 2)))
+      // Batch 5: a NEW partition first seen at offset 100 — attaching
+      // mid-stream (head retention / committed start) is not a gap.
+      source.addData(Seq(
+        RawMessage("t", 7, 100, Some("p7"), good.format("p7", 0)),
+        RawMessage("t", 7, 101, Some("p7b"), good.format("p7b", 1))))
+      q.processAllAvailable()
+      assert(spark.table("gaps").count() == 2, "first sighting must not flag")
+      // ...but a hole AFTER the first sighting does flag.
+      source.addData(Seq(RawMessage("t", 7, 105, Some("p7c"), good.format("p7c", 2))))
+      q.processAllAvailable()
+      assert(spark.table("gaps").as[OffsetGap].collect()
+        .exists(g => g.partition == 7 && g.expectedFrom == 102 && g.missing == 3))
     } finally q.stop()
   }
 
