@@ -50,6 +50,8 @@ object SparkEntry {
       ops.Similarity.embeddingDups(s.read.parquet(s"$d/embeddings.parquet"))),
     "multimodal_features" -> ((s, d) => ops.Multimodal.featureSummary(s, d)),
     "multimodal_frames" -> ((s, d) => ops.Multimodal.frames(s, d)),
+    "corpus_split" -> ((s, d) => ops.Corpus.splitCounts(s, d)),
+    "corpus_contamination" -> ((s, d) => ops.Corpus.contaminationQuery(s, d)),
     "sim_ivf_ann" -> ((s, d) =>
       ops.Similarity.ivfTopK(s.read.parquet(s"$d/embeddings.parquet"))),
   )
@@ -84,6 +86,8 @@ object SparkEntry {
     "dedup_embedding" -> ops.Similarity.embeddingDupsSql(),
     "multimodal_features" -> ops.Multimodal.featureSummarySql,
     "multimodal_frames" -> ops.Multimodal.framesSql,
+    "corpus_split" -> ops.Corpus.splitCountsSql,
+    "corpus_contamination" -> ops.Corpus.contaminationSql,
     "sim_ivf_ann" -> ops.Similarity.ivfTopKSql(),
   )
 }

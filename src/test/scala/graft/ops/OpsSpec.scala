@@ -131,6 +131,39 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"minhash near-dup recall $recall")
   }
 
+  test("corpus split is deterministic, keyed on doc_id only, and near the target ratios") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val a = docs.select($"doc_id", Corpus.splitCol($"doc_id").as("s"))
+      .as[(Long, String)].collect().toMap
+    // Same assignment on a differently-partitioned copy of the ids.
+    val b = docs.select($"doc_id").repartition(7)
+      .select($"doc_id", Corpus.splitCol($"doc_id").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "split must be a pure function of doc_id")
+    val n = a.size.toDouble
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1, s"train frac ${frac("train")}")
+    assert(frac.keySet == Set("train", "val", "test"))
+  }
+
+  test("contamination finds planted duplicates that straddle the train/eval boundary") {
+    val aug = Dedup.augmented(spark, dir)
+    val pairs = Corpus.contamination(
+        train = aug.filter($"doc_id" % 17 =!= 0),
+        eval = aug.filter($"doc_id" % 17 === 0))
+      .select($"train_id", $"eval_id").as[(Long, Long)].collect().toSet
+    // Every eval doc (id%17==0, id%4==0) whose exact copy id+200000 is
+    // in train must be flagged (identical shingle sets).
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" % 17 === 0 && $"doc_id" % 4 === 0 &&
+        ($"doc_id" + 200000) % 17 =!= 0)
+      .select(($"doc_id" + 200000), $"doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture must plant cross-boundary duplicates")
+    assert(expected.subsetOf(pairs),
+      s"missed ${(expected -- pairs).size} of ${expected.size} planted contaminations")
+  }
+
   test("text ops: language ID prefers the marker language; fingerprint collapses word order") {
     val df = Seq(
       (1L, "the cat and the dog of a house"),
