@@ -25,6 +25,13 @@ object Main {
       |  scan      table.path=PATH
       |  describe  table.path=PATH""".stripMargin
 
+  /** Commit boundaries: cut i = i*rows/commits, so sizes differ by at
+    * most 1 and the boundaries cover every row (a plain rows/commits
+    * truncation silently dropped rows % commits rows).
+    */
+  def commitCuts(rows: Long, commits: Int): IndexedSeq[Long] =
+    (0 to commits).map(i => i.toLong * rows / commits)
+
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
     val cmd = args.head
@@ -54,9 +61,7 @@ object Main {
         val commits = kv.getOrElse("commits", "1").toInt
         val dup = kv.getOrElse("dup_rate", "0.0").toDouble
         val off = kv.getOrElse("offset", "0").toLong
-        // Commit boundaries from i*rows/commits so the remainder is
-        // spread across commits and every requested row is appended.
-        val cuts = (0 to commits).map(i => i.toLong * rows / commits)
+        val cuts = commitCuts(rows, commits)
         (0 until commits).foreach { c =>
           t.append(TokenGen.asTokenRows(TokenGen.generate(
             spark, cuts(c + 1) - cuts(c), dupRate = dup, idOffset = off + cuts(c))))

@@ -50,6 +50,20 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("commit cuts cover every row with sizes differing by at most one") {
+    val gen = for {
+      rows <- Gen.choose(0L, 100000L)
+      commits <- Gen.choose(1, 64)
+    } yield (rows, commits)
+    check("commitCuts", Prop.forAll(gen) { case (rows, commits) =>
+      val cuts = Main.commitCuts(rows, commits)
+      val sizes = cuts.sliding(2).map(p => p(1) - p(0)).toSeq
+      cuts.head == 0 && cuts.last == rows &&
+        sizes.forall(_ >= 0) && sizes.sum == rows &&
+        (sizes.max - sizes.min) <= 1
+    })
+  }
+
   test("upperBound == #(bounds <= key) for longs and UTF8 strings") {
     val genL = for {
       bounds <- Gen.listOf(Gen.choose(-1000L, 1000L)).map(_.distinct.sorted)
