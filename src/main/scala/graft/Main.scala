@@ -29,8 +29,11 @@ object Main {
     * most 1 and the boundaries cover every row (a plain rows/commits
     * truncation silently dropped rows % commits rows).
     */
-  def commitCuts(rows: Long, commits: Int): IndexedSeq[Long] =
+  def commitCuts(rows: Long, commits: Int): IndexedSeq[Long] = {
+    require(commits >= 1, s"commits must be >= 1, got $commits")
+    require(rows >= 0, s"rows must be >= 0, got $rows")
     (0 to commits).map(i => i.toLong * rows / commits)
+  }
 
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }

@@ -48,8 +48,8 @@ object Compact {
     * with the same `jobId` after a crash skips completed bins (their
     * outputs are reused from the lineage markers) and still produces a
     * single snapshot.
-    */
-  /** @param beforeCommit test seam invoked after all bins are written,
+    *
+    * @param beforeCommit test seam invoked after all bins are written,
     *        immediately before the snapshot commit — lets specs inject a
     *        concurrent commit DETERMINISTICALLY to exercise the
     *        conflict-abort-replan path (a purely racy test can pass

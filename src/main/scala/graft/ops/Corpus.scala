@@ -57,14 +57,15 @@ object Corpus {
     */
   def contamination(train: DataFrame, eval: DataFrame,
       minShared: Int = 3): DataFrame = {
-    def sh(df: DataFrame, idAs: String) = df
-      .select(col("doc_id"), TextOps.words(col("text")).as("__w"))
-      .select(col("doc_id").as(idAs),
-        explode(array_distinct(Dedup.shinglesOfWords(col("__w")))).as("s"))
-    val t = sh(train, "train_id")
+    // Cap BOTH sides: an uncapped hot shingle on either side emits
+    // df_other x df_this join rows; the symmetric cap bounds every
+    // bucket to cap^2 (the same invariant the Dedup kernels hold).
+    def sh(df: DataFrame, idAs: String) = Dedup.explodedShingles(df)
+      .withColumnRenamed("doc_id", idAs)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= Dedup.ShingleDfCap)
       .drop("df")
+    val t = sh(train, "train_id")
     val e = sh(eval, "eval_id")
     t.join(e, "s")
       .groupBy(col("train_id"), col("eval_id"))
@@ -92,8 +93,11 @@ object Corpus {
        |      FROM aug WHERE doc_id % 17 <> 0)
        |  ) WHERE df <= ${Dedup.ShingleDfCap}
        |), esh AS (
-       |  SELECT doc_id AS eval_id, unnest(list_distinct(${Dedup.ShinglesSql})) AS s
-       |  FROM aug WHERE doc_id % 17 = 0
+       |  SELECT doc_id AS eval_id, s FROM (
+       |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM (
+       |      SELECT doc_id, unnest(list_distinct(${Dedup.ShinglesSql})) AS s
+       |      FROM aug WHERE doc_id % 17 = 0)
+       |  ) WHERE df <= ${Dedup.ShingleDfCap}
        |)
        |SELECT t.train_id, e.eval_id, count(*) AS shared
        |FROM tsh t JOIN esh e ON t.s = e.s

@@ -71,7 +71,7 @@ object Dedup {
     * barrier, so the word regex runs ONCE per document and the shingle
     * lambda reads the array attribute.
     */
-  private def explodedShingles(docs: DataFrame): DataFrame =
+  private[ops] def explodedShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextOps.words(col("text")).as("__w"))
       .select(col("doc_id"),
         explode(array_distinct(shinglesOfWords(col("__w")))).as("s"))
