@@ -29,10 +29,18 @@ object Bench {
     // tmpfs when available: the sandbox's single virtual disk serializes
     // concurrent IO and would measure the disk, not the engine (a real
     // cluster has per-node disks/object storage).
-    val benchBase =
+    // SPARK_GRAFT_BENCH_DIR overrides for runs whose working set
+    // (several retained table versions + shuffle) would not fit in RAM
+    // as tmpfs pages — e.g. the 60M-row robustness cycle runs on disk.
+    val benchBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
       if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
         "/dev/shm/graft_bench"
-      else s"${System.getProperty("java.io.tmpdir")}/graft_bench"
+      else s"${System.getProperty("java.io.tmpdir")}/graft_bench")
+    // Wipe the WHOLE scratch base (stale tables from other widths plus
+    // spark-local shuffle dirs that a killed JVM never cleaned): on
+    // tmpfs these pages are RAM, and tens of leftover GB plus the live
+    // run's working set is exactly how the OOM-killer gets invoked.
+    wipe(benchBase)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -79,7 +79,17 @@ object Compact {
       return Result(parent, 0, all.size, all.size, 0L, 0, execId)
 
     var resumed = 0
-    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    // Memory-aware concurrency clamp: one bin task transiently holds the
+    // decompressed bin plus parquet writer buffers (~3x the compressed
+    // bin). Aggregate that across concurrent bins and a fixed-size heap
+    // OOMs once targetBytes grows with the table (observed: 32 x 190MB
+    // bins on an 8g heap). Cap concurrency so in-flight bin memory fits
+    // in half the heap; the remaining bins queue — throughput degrades
+    // gracefully instead of failing.
+    val perTaskBytes = 3L * math.max(1L, targetBytes)
+    val memCap = (Runtime.getRuntime.maxMemory() / 2 / perTaskBytes).toInt
+    val effParallelism = math.max(1, math.min(parallelism, memCap))
+    val pool = Executors.newFixedThreadPool(effParallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futures = tasks.map { case (taskId, inputPaths) =>
       Future {
