@@ -125,7 +125,8 @@ object Bench {
     for (name <- Seq("d1_dedup_firstwins", "m3_stats_agg", "text_analyze",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_hamming",
         "dedup_ngram_jaccard", "sim_bruteforce_topk", "sim_lsh_ann",
-        "sim_ivf_ann", "dedup_embedding", "multimodal_features")) {
+        "sim_ivf_ann", "dedup_embedding", "multimodal_features",
+        "dedup_clusters", "corpus_pack", "corpus_quality_filter")) {
       timed(name) {
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>

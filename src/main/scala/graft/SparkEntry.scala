@@ -54,6 +54,10 @@ object SparkEntry {
     "corpus_contamination" -> ((s, d) => ops.Corpus.contaminationQuery(s, d)),
     "sim_ivf_ann" -> ((s, d) =>
       ops.Similarity.ivfTopK(s.read.parquet(s"$d/embeddings.parquet"))),
+    "dedup_clusters" -> ((s, d) => ops.Components.dupClusters(s, d)),
+    "corpus_pack" -> ((s, d) => ops.Corpus.packQuery(s, d)),
+    "corpus_sample" -> ((s, d) => ops.Corpus.sampleQuery(s, d)),
+    "corpus_quality_filter" -> ((s, d) => ops.Corpus.qualityFilterQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,5 +93,9 @@ object SparkEntry {
     "corpus_split" -> ops.Corpus.splitCountsSql,
     "corpus_contamination" -> ops.Corpus.contaminationSql,
     "sim_ivf_ann" -> ops.Similarity.ivfTopKSql(),
+    "dedup_clusters" -> ops.Components.dupClustersSql,
+    "corpus_pack" -> ops.Corpus.packSql,
+    "corpus_sample" -> ops.Corpus.sampleSql,
+    "corpus_quality_filter" -> ops.Corpus.qualityFilterSql,
   )
 }

@@ -102,4 +102,186 @@ object Corpus {
        |SELECT t.train_id, e.eval_id, count(*) AS shared
        |FROM tsh t JOIN esh e ON t.s = e.s
        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+
+  // ---------------------------------------------------- sequence packing
+
+  /** Tokens per training sequence. 2^11 — the classic context-window
+    * granularity; any positive value works (integer `div`, no shifts).
+    */
+  val PackBudget: Long = 2048L
+
+  /** Concat-and-chunk sequence packing — the standard LLM pretraining
+    * layout: documents are concatenated in a deterministic
+    * (hash-shuffled) order and the token stream is cut into
+    * fixed-[[PackBudget]] sequences, documents spanning cuts. Output
+    * per doc: the sequence its first token lands in (`seq_id`), the
+    * offset inside it (`seq_pos`), and how many sequences it spans.
+    *
+    * The global prefix sum is NOT a single-partition window (the naive
+    * `Window.orderBy` with no partition key serializes the whole table
+    * through one task — the textbook scale-killer). Two-phase scalable
+    * prefix sum instead:
+    *   1. the order key is already a uniform 60-bit hash, so a
+    *      DETERMINISTIC range bucket is just `k div width` — a pure
+    *      column expression, no boundary sampling, balanced by
+    *      construction, identical across jobs (spark_partition_id()
+    *      after repartitionByRange would NOT be: each action re-plans
+    *      the exchange and may re-sample different boundaries);
+    *   2. per-bucket token totals (one partially-aggregated pass, B
+    *      rows) become per-bucket start offsets on the driver — O(B);
+    *   3. in-bucket window cumsum + broadcast-joined bucket offset =
+    *      the exact global prefix, because every smaller key lives in a
+    *      smaller-or-equal bucket. One full-data shuffle total.
+    *
+    * Zero-token docs are excluded (nothing to pack) — deterministic,
+    * mirrored in the oracle.
+    */
+  def packSequences(docs: DataFrame, budget: Long = PackBudget): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nBuckets = spark.sessionState.conf.numShufflePartitions.max(1)
+    val width = (1L << 60) / nBuckets + 1
+    val keyed = docs
+      .select(col("doc_id"), TextOps.tokenCountWs(col("text")).as("n_tok"),
+        Dedup.hash60(concat(lit("pack:"), col("doc_id").cast("string"))).as("k"))
+      .filter(col("n_tok") > 0)
+      .withColumn("pid", expr(s"k div $width"))
+
+    val totals = keyed.groupBy(col("pid"))
+      .agg(sum(col("n_tok")).as("t"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val offsets = totals.scanLeft((0L, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = offsets.toSeq.toDF("pid", "bucket_off")
+
+    val w = Window.partitionBy(col("pid")).orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(offDf), "pid")
+      .withColumn("cum", sum(col("n_tok")).over(w) + col("bucket_off"))
+      .withColumn("start", col("cum") - col("n_tok"))
+      // long `div`, not floor(a/b): double division drifts past 2^53
+      // tokens, which a 100 TB corpus exceeds.
+      .selectExpr("doc_id", "n_tok",
+        s"start div $budget AS seq_id",
+        s"start % $budget AS seq_pos",
+        s"((cum - 1) div $budget) - (start div $budget) + 1 AS spans")
+  }
+
+  def packQuery(spark: SparkSession, dir: String): DataFrame =
+    packSequences(spark.read.parquet(s"$dir/documents.parquet"))
+
+  val packSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+       |         ${Dedup.hash60Sql("'pack:' || doc_id::VARCHAR")} AS k
+       |  FROM documents
+       |  WHERE len(regexp_extract_all(text, '\\S+')) > 0
+       |), c AS (
+       |  SELECT doc_id, n_tok,
+       |         CAST(sum(n_tok) OVER (ORDER BY k, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tok,
+       |       CAST((cum - n_tok) // $PackBudget AS BIGINT) AS seq_id,
+       |       CAST((cum - n_tok) % $PackBudget AS BIGINT) AS seq_pos,
+       |       CAST(((cum - 1) // $PackBudget) - ((cum - n_tok) // $PackBudget) + 1 AS BIGINT) AS spans
+       |FROM c""".stripMargin
+
+  // --------------------------------------------------- stratified sample
+
+  /** Per-language sampling rates (percent kept): the corpus-rebalancing
+    * move every multilingual pretraining mix makes — downsample the
+    * dominant language, keep the rest. Unlisted languages keep 100%.
+    */
+  val SampleRates: Map[String, Int] = Map("en" -> 50, "zh" -> 25)
+
+  /** Deterministic stratified sample: doc kept iff
+    * hash60("sample:" + doc_id) mod 100 < rate(lang). Layout- and
+    * run-independent (same survivor set forever — reproducible data
+    * mixes), no sampling RNG, no extra shuffle: the filter is a pure
+    * projection predicate evaluated inside the scan stage.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int] = SampleRates): DataFrame = {
+    val h = pmod(Dedup.hash60(concat(lit("sample:"), col("doc_id").cast("string"))), lit(100L))
+    val rate = rates.foldLeft(lit(100)) { case (acc, (lang, pct)) =>
+      when(col("lang") === lang, lit(pct)).otherwise(acc)
+    }
+    docs.filter(h < rate)
+  }
+
+  /** Driver query: survivor counts per (lang, source) — verifies the
+    * hash-threshold assignment over every stratum in one aggregate.
+    */
+  def sampleQuery(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(spark.read.parquet(s"$dir/documents.parquet"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+
+  val sampleSql: String = {
+    val rate = "CASE lang " +
+      SampleRates.map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ") +
+      " ELSE 100 END"
+    s"""SELECT lang, source, count(*) AS n FROM documents
+       |WHERE ${Dedup.hash60Sql("'sample:' || doc_id::VARCHAR")} % 100 < $rate
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------------ quality filter
+
+  /** C4-style quality filter: per-doc keep/drop verdict with the FIRST
+    * failing rule as the reason (ordered, so the verdict is
+    * deterministic). Pure codegen'd column expressions — at 100 TB this
+    * is a scan-stage predicate, no shuffle at all. Rules (integer
+    * arithmetic only, exact in DuckDB):
+    *   too_short    — fewer than 5 normalized words,
+    *   punct_soup   — punctuation > 30% of characters,
+    *   long_words   — mean word length > 12 chars (lorem-style junk),
+    *   no_stopwords — >= 20 words but zero stopword hits in EVERY
+    *                  language marker set (langId 'und'): long
+    *                  stretches of text with no function words in any
+    *                  covered language are gibberish / non-prose.
+    */
+  def qualityVerdict(text: Column): Column = {
+    val nWords = size(TextOps.words(text)).cast("long")
+    val nChars = length(text).cast("long")
+    val nPunct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+    when(nWords < 5, "too_short")
+      .when(nPunct * 100 > nChars * 30, "punct_soup")
+      .when(nChars > nWords * 12, "long_words")
+      .when(nWords >= 20 && TextOps.langId(text) === "und", "no_stopwords")
+      .otherwise("keep")
+  }
+
+  def qualityFilterQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), qualityVerdict(col("text")).as("verdict"),
+        TextOps.qualityScore(col("text")).as("quality"))
+
+  val qualityFilterSql: String = {
+    val nWords = "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)"
+    val nChars = "CAST(length(text) AS BIGINT)"
+    val nPunct = "CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT)"
+    val nStops = s"CAST(len(regexp_extract_all(lower(text), '\\b(${TextOps.EnStops.mkString("|")})\\b')) AS BIGINT)"
+    val de = s"len(regexp_extract_all(lower(text), '\\b(${TextOps.DeStops.mkString("|")})\\b'))"
+    val en = s"len(regexp_extract_all(lower(text), '\\b(${TextOps.EnStops.mkString("|")})\\b'))"
+    val es = s"len(regexp_extract_all(lower(text), '\\b(${TextOps.EsStops.mkString("|")})\\b'))"
+    val fr = s"len(regexp_extract_all(lower(text), '\\b(${TextOps.FrStops.mkString("|")})\\b'))"
+    val isUnd = s"greatest($de,$en,$es,$fr) = 0"
+    s"""SELECT doc_id,
+       |  CASE WHEN $nWords < 5 THEN 'too_short'
+       |       WHEN $nPunct * 100 > $nChars * 30 THEN 'punct_soup'
+       |       WHEN $nChars > $nWords * 12 THEN 'long_words'
+       |       WHEN $nWords >= 20 AND $isUnd THEN 'no_stopwords'
+       |       ELSE 'keep' END AS verdict,
+       |  CAST(greatest(0, least(100,
+       |    least($nWords, 50)
+       |    + least($nStops * 5, 30)
+       |    + CASE WHEN $nWords > 0 THEN least($nChars // $nWords, 20) ELSE 0 END
+       |    - least($nPunct * 100 // greatest($nChars, 1), 30)
+       |  )) AS BIGINT) AS quality
+       |FROM documents""".stripMargin
+  }
 }

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-pipeline ops added around dedup: sequence
+  * packing (scalable prefix sum), stratified sampling, quality filter.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("packSequences equals the single-threaded reference packing") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val budget = 256L
+    val got = Corpus.packSequences(docs, budget)
+      .select($"doc_id", $"n_tok", $"seq_id", $"seq_pos", $"spans")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    // Reference model: sort by (hash, id) in memory, run the cumsum.
+    val keyed = docs.select($"doc_id",
+        TextOps.tokenCountWs($"text").as("n_tok"),
+        Dedup.hash60(concat(lit("pack:"), $"doc_id".cast("string"))).as("k"))
+      .filter($"n_tok" > 0)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._3, t._1))
+    var cum = 0L
+    val expected = keyed.map { case (id, n, _) =>
+      val start = cum; cum += n
+      (id, n, start / budget, start % budget, (cum - 1) / budget - start / budget + 1)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected.toSeq)
+    // Every position is inside the budget; spans >= 1.
+    assert(got.forall(r => r._4 >= 0 && r._4 < budget && r._5 >= 1))
+  }
+
+  test("packSequences output is independent of input layout") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.packSequences(df).as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(docs) == run(docs.repartition(13, $"lang")))
+  }
+
+  test("stratified sample is deterministic and respects per-language rates") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      Corpus.stratifiedSample(df).select($"doc_id").as[Long].collect().toSet
+    val a = kept(docs)
+    assert(a == kept(docs.repartition(7))) // layout-independent
+    // Unlisted languages keep everything.
+    val frAll = docs.filter($"lang" === "fr").select($"doc_id").as[Long].collect().toSet
+    assert(frAll.subsetOf(a))
+    // Listed languages are actually downsampled (rate < 100 drops some).
+    val enAll = docs.filter($"lang" === "en").select($"doc_id").as[Long].collect().toSet
+    val enKept = enAll & a
+    assert(enKept.size < enAll.size && enKept.nonEmpty)
+  }
+
+  test("quality verdict fires each rule on a crafted doc, first rule wins") {
+    val rows = Seq(
+      (1L, "a b"), // too_short (2 words)
+      (2L, "one two three four five !!!???!!!***###$$$%%%"), // punct_soup
+      (3L, "extraordinarily incomprehensible characteristically "
+        + "disproportionately institutionalization"), // long_words
+      (4L, (1 to 25).map(i => s"w$i").mkString(" ")), // no_stopwords (und)
+      (5L, "the cat sat on the mat and it is happy today")) // keep
+    val got = rows.toDF("doc_id", "text")
+      .select($"doc_id", Corpus.qualityVerdict($"text").as("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "too_short", 2L -> "punct_soup",
+      3L -> "long_words", 4L -> "no_stopwords", 5L -> "keep"))
+  }
+}
