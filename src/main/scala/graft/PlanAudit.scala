@@ -65,6 +65,17 @@ object PlanAudit {
         .distinct()
     }
 
+    section("sequence packing (ONE full-data Exchange on pid + broadcast offset join; " +
+        "scan must read only doc_id, text)") {
+      ops.Corpus.packSequences(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    }
+
+    section("quality filter (pure scan-stage projection — no Exchange anywhere)") {
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select($"doc_id", ops.Corpus.qualityVerdict($"text").as("verdict"))
+    }
+
     spark.stop()
   }
 }
