@@ -46,6 +46,27 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("random graphs match an in-memory union-find reference") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rng = new scala.util.Random(seed)
+      val edges = Seq.fill(120)((rng.nextInt(80).toLong, rng.nextInt(80).toLong))
+        .filter { case (a, b) => a != b }
+      // Reference: classic union-find with min-id labels.
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(n => n -> find(n)).toMap
+      assert(cc(edges) == expected, s"seed $seed")
+    }
+  }
+
   test("dupClusters groups planted exact AND near dups of one base doc transitively") {
     val dir = "/root/testdata/sf0.001"
     val out = Components.dupClusters(spark, dir)
