@@ -126,7 +126,8 @@ object Bench {
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_hamming",
         "dedup_ngram_jaccard", "sim_bruteforce_topk", "sim_lsh_ann",
         "sim_ivf_ann", "dedup_embedding", "multimodal_features",
-        "dedup_clusters", "corpus_pack", "corpus_quality_filter")) {
+        "dedup_clusters", "corpus_pack", "corpus_quality_filter",
+        "dedup_lines", "corpus_vocab")) {
       timed(name) {
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>

@@ -58,6 +58,8 @@ object SparkEntry {
     "corpus_pack" -> ((s, d) => ops.Corpus.packQuery(s, d)),
     "corpus_sample" -> ((s, d) => ops.Corpus.sampleQuery(s, d)),
     "corpus_quality_filter" -> ((s, d) => ops.Corpus.qualityFilterQuery(s, d)),
+    "dedup_lines" -> ((s, d) => ops.Dedup.lineDedupQuery(s, d)),
+    "corpus_vocab" -> ((s, d) => ops.TextOps.vocabQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -97,5 +99,7 @@ object SparkEntry {
     "corpus_pack" -> ops.Corpus.packSql,
     "corpus_sample" -> ops.Corpus.sampleSql,
     "corpus_quality_filter" -> ops.Corpus.qualityFilterSql,
+    "dedup_lines" -> ops.Dedup.lineDedupSql,
+    "corpus_vocab" -> ops.TextOps.vocabSql,
   )
 }

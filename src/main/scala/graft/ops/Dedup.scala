@@ -273,6 +273,84 @@ object Dedup {
       .filter(col("inter") * 100 >= col("uni") * thresholdPct)
   }
 
+  // ----------------------------------------------------- line dedup
+
+  /** Words per pseudo-line. The synthetic corpus has no newlines, so
+    * fixed 10-word chunks stand in for lines — the operator's shape
+    * (global first-occurrence-wins over a line hash) is what matters;
+    * swapping the chunker for `split(text, '\n')` is a one-line change.
+    */
+  val LineWords = 10
+
+  /** CCNet/RefinedWeb-style line-level dedup across the whole corpus:
+    * a line (10-word chunk) is kept only at its globally FIRST
+    * occurrence (smallest (doc_id, position)); every later repeat — the
+    * nav-bar/footer boilerplate case — is dropped, and the doc's text
+    * is rebuilt from its surviving lines. Output per doc: chunk counts
+    * and the md5 of the rebuilt text (small, exactly checkable).
+    *
+    * Scale shape: lines ride the shuffle as 60-bit hashes (never
+    * strings); first-wins is one window (`row_number` = linear work per
+    * group, so a boilerplate line in 10^6 docs costs 10^6 rows, never
+    * 10^12 pairs); the rebuild is one hash aggregate with an in-group
+    * sort of the SURVIVING lines only.
+    */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val w = docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("__w"))
+      .filter(size(col("__w")) > 0)
+    // `div`, not `/`: Column./ is double division, and sequence()
+    // demands integral bounds under ANSI.
+    val nChunks = expr(s"(size(__w) - 1) div $LineWords")
+    val chunks = w.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), nChunks),
+        i => array_join(slice(col("__w"), i * LineWords + 1, lit(LineWords)), " ")))
+        .as(Seq("pos", "line")))
+    val keep = Window.partitionBy(hash60(col("line")))
+      .orderBy(col("doc_id"), col("pos"))
+    chunks
+      .withColumn("__rn", row_number().over(keep))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("__rn") === 1,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line")), " ")).as("text_hash"))
+  }
+
+  def lineDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    lineDedup(augmented(spark, dir))
+
+  /** Oracle mirror: DuckDB's `string_agg(... ORDER BY pos)` rebuilds the
+    * same surviving-line text; `coalesce('')` matches Spark's empty
+    * collect_list for docs whose every line was seen earlier (the
+    * planted +200000 exact copies). Lazy: `augSql` is declared further
+    * down the object and would interpolate as null at init order.
+    */
+  lazy val lineDedupSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM $augSql aug WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) > 0
+       |), chunks AS (
+       |  SELECT doc_id,
+       |         unnest(range(0, (len(ws)-1)//$LineWords + 1)) AS pos,
+       |         unnest(list_transform(range(0, (len(ws)-1)//$LineWords + 1),
+       |           i -> array_to_string(ws[i*$LineWords+1 : i*$LineWords+$LineWords], ' '))) AS line
+       |  FROM w
+       |), ranked AS (
+       |  SELECT doc_id, pos, line,
+       |         row_number() OVER (PARTITION BY ${hash60Sql("line")}
+       |                            ORDER BY doc_id, pos) AS rn
+       |  FROM chunks
+       |)
+       |SELECT doc_id, count(*) AS n_lines,
+       |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY pos), '')) AS text_hash
+       |FROM ranked GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------- augmented inputs
 
   /** documents + exact duplicates of every 4th doc (re-keyed +200000)

@@ -81,6 +81,31 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(words(text))), " "))
 
+  /** Corpus vocabulary statistics — the tokenizer-training preamble:
+    * per-word global occurrence count and document frequency, top-k by
+    * (count desc, word asc) so the cut is total-ordered and
+    * deterministic. Scale shape: one hash aggregate over exploded words
+    * (map-side partial combine) and a TakeOrdered top-k — the global
+    * sort is never materialized, only k rows leave the executors.
+    */
+  def vocab(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("word"))
+      .limit(k)
+
+  def vocabQuery(spark: SparkSession, dir: String): DataFrame =
+    vocab(spark.read.parquet(s"$dir/documents.parquet"))
+
+  val vocabSql: String =
+    """SELECT word, count(*) AS occurrences,
+      |       count(DISTINCT doc_id) AS doc_freq
+      |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |      FROM documents)
+      |GROUP BY word ORDER BY occurrences DESC, word LIMIT 100""".stripMargin
+
   // ------------------------------------------------------------- queries
 
   def analyze(spark: SparkSession, dir: String): DataFrame =

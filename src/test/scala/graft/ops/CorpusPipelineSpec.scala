@@ -56,6 +56,45 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(enKept.size < enAll.size && enKept.nonEmpty)
   }
 
+  test("line dedup drops repeated lines globally, keeps first occurrence") {
+    val rows = Seq(
+      // doc 1: two distinct 10-word lines (20 words).
+      (1L, ((1 to 10).map(i => s"a$i") ++ (1 to 10).map(i => s"b$i")).mkString(" ")),
+      // doc 2: repeats doc 1's first line, adds a fresh one.
+      (2L, ((1 to 10).map(i => s"a$i") ++ (1 to 10).map(i => s"c$i")).mkString(" ")),
+      // doc 3: exact copy of doc 1 — every line dropped.
+      (3L, ((1 to 10).map(i => s"a$i") ++ (1 to 10).map(i => s"b$i")).mkString(" ")))
+    val got = Dedup.lineDedup(rows.toDF("doc_id", "text"))
+      .select($"doc_id", $"n_lines", $"n_kept", $"text_hash")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L)))
+    // Doc 3 keeps nothing: its rebuilt text is the md5 of "".
+    assert(got(2)._4 == java.security.MessageDigest.getInstance("MD5")
+      .digest("".getBytes).map("%02x".format(_)).mkString)
+    // Determinism across layouts.
+    val again = Dedup.lineDedup(rows.toDF("doc_id", "text").repartition(5))
+      .select($"doc_id", $"n_lines", $"n_kept", $"text_hash")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
+
+  test("vocab returns deterministic top-k with exact counts") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val got = TextOps.vocab(docs, k = 20)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 20)
+    // Sorted by (occurrences desc, word asc); df <= occurrences.
+    assert(got.sliding(2).forall { case Array(x, y) =>
+      x._2 > y._2 || (x._2 == y._2 && x._1 < y._1) })
+    assert(got.forall(r => r._3 <= r._2 && r._3 >= 1))
+    // Exact count spot-check against a direct aggregate.
+    val (w, occ, _) = got.head
+    val direct = docs.select(explode(TextOps.words($"text")).as("w"))
+      .filter($"w" === w).count()
+    assert(direct == occ)
+  }
+
   test("quality verdict fires each rule on a crafted doc, first rule wins") {
     val rows = Seq(
       (1L, "a b"), // too_short (2 words)
