@@ -1,0 +1,79 @@
+package graft
+
+import graft.ops.{Corpus, Dedup, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling probe for the LLM-pipeline kernels (the sf0.1 documents
+  * table is only 5k docs — per-query bench times there are dominated by
+  * fixed planning/codegen cost, not data work). This main replicates
+  * the documents deterministically (re-keyed doc_ids), caches the input
+  * so every kernel times pure compute + its own shuffles, and prints
+  * per-kernel seconds. Run at two widths for the north-rule N -> 4N
+  * comparison:
+  *
+  *   sbt "runMain graft.LlmScaleProbe 2 32"
+  *   sbt "runMain graft.LlmScaleProbe 8 32"
+  *
+  * Only the LINEAR kernels are probed (signatures, line dedup, packing,
+  * vocab, quality): replicating input makes every doc an N-way
+  * near-duplicate, so candidate-pair JOIN counts grow O(N^2) with
+  * replication — a property of the duplicated input, not of the
+  * algorithms — and pair-side scaling is already evidenced structurally
+  * (capped buckets) and by dedup_minhash_lsh in Bench.
+  */
+object LlmScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val rep = if (args.length > 1) args(1).toInt else 32
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir",
+        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm/graft/llmprobe-local"
+        else s"${System.getProperty("java.io.tmpdir")}/llmprobe-local")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs = base
+      .select(explode(sequence(lit(0), lit(rep - 1))).as("r"),
+        col("doc_id"), col("text"), col("lang"))
+      .select((col("doc_id") + col("r") * 10000000L).as("doc_id"),
+        col("text"), col("lang"))
+      .repartition(cpus * 4)
+      .persist()
+    val nDocs = docs.count()
+    val nTok = docs.agg(sum(TextOps.tokenCountWs(col("text")))).head().getLong(0)
+    println(s"""{"docs":$nDocs,"tokens":$nTok,"cpus":$cpus,"rep":$rep}""")
+
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"""{"kernel":"$name","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+    }
+
+    timed("minhash_signatures") {
+      Dedup.minhashSignatures(docs)
+        .agg(sum(pmod(xxhash64(col("doc_id"), col("sig")), lit(1000000007L)))).head()
+    }
+    timed("simhash") {
+      Dedup.simhashed(docs)
+        .agg(sum(pmod(col("simhash"), lit(1000000007L)))).head()
+    }
+    timed("line_dedup") {
+      Dedup.lineDedup(docs).agg(sum(col("n_kept"))).head()
+    }
+    timed("pack_sequences") {
+      Corpus.packSequences(docs).agg(max(col("seq_id"))).head()
+    }
+    timed("vocab") {
+      TextOps.vocab(docs, 100).collect()
+    }
+    timed("quality_filter") {
+      docs.select(Corpus.qualityVerdict(col("text")).as("v"))
+        .groupBy(col("v")).count().collect()
+    }
+    spark.stop()
+  }
+}
