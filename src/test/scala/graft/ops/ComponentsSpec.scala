@@ -46,6 +46,13 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("unconverged run fails loudly instead of returning wrong labels") {
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    assertThrows[IllegalStateException] {
+      Components.connectedComponents(chain.toDF("a", "b"), maxIter = 1).collect()
+    }
+  }
+
   test("random graphs match an in-memory union-find reference") {
     for (seed <- Seq(1, 2, 3)) {
       val rng = new scala.util.Random(seed)

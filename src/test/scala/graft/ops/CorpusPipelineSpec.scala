@@ -41,6 +41,24 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(13, $"lang")))
   }
 
+  test("packSequences edge cases: unit budget, exact-budget docs, empty docs") {
+    val rows = Seq(
+      (1L, "alpha beta gamma"), // 3 tokens
+      (2L, ""), // zero tokens -> excluded
+      (3L, "one two")) // 2 tokens
+    val df = rows.toDF("doc_id", "text")
+    // budget=1: every token its own sequence; spans == n_tok.
+    val unit = Corpus.packSequences(df, budget = 1L)
+      .select($"doc_id", $"n_tok", $"spans").as[(Long, Long, Long)].collect()
+    assert(unit.length == 2) // empty doc excluded
+    assert(unit.forall(r => r._3 == r._2))
+    // Budget exactly equal to total tokens: one sequence, everything
+    // at spans=1, seq_id=0.
+    val exact = Corpus.packSequences(df, budget = 5L)
+      .select($"seq_id", $"spans").as[(Long, Long)].collect()
+    assert(exact.forall(r => r._1 == 0L && r._2 == 1L))
+  }
+
   test("stratified sample is deterministic and respects per-language rates") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     def kept(df: org.apache.spark.sql.DataFrame) =
