@@ -26,16 +26,22 @@ object LlmScaleProbe {
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
     val rep = if (args.length > 1) args(1).toInt else 32
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Same scratch hygiene as Bench: leftover tmpfs shuffle pages from a
+    // killed run are RAM, and the probe is documented to run twice
+    // back-to-back — wipe before starting.
+    val scratch =
+      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+        "/dev/shm/graft_llmprobe"
+      else s"${System.getProperty("java.io.tmpdir")}/graft_llmprobe"
+    Bench.wipeDir(scratch)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.local.dir",
-        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-          "/dev/shm/graft/llmprobe-local"
-        else s"${System.getProperty("java.io.tmpdir")}/llmprobe-local")
+      .config("spark.local.dir", s"$scratch/local")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
     val docs = base
       .select(explode(sequence(lit(0), lit(rep - 1))).as("r"),
         col("doc_id"), col("text"), col("lang"))

@@ -289,11 +289,14 @@ object Dedup {
     * is rebuilt from its surviving lines. Output per doc: chunk counts
     * and the md5 of the rebuilt text (small, exactly checkable).
     *
-    * Scale shape: lines ride the shuffle as 60-bit hashes (never
-    * strings); first-wins is one window (`row_number` = linear work per
+    * Scale shape: first-wins is one window partitioned by the line
+    * itself — exact (a 60-bit hash key alone would silently merge
+    * colliding distinct lines at web scale, and the oracle would mirror
+    * the bug), and free, because the line string must ride the shuffle
+    * anyway for the text rebuild. `row_number` is linear work per
     * group, so a boilerplate line in 10^6 docs costs 10^6 rows, never
-    * 10^12 pairs); the rebuild is one hash aggregate with an in-group
-    * sort of the SURVIVING lines only.
+    * 10^12 pairs; the rebuild is one hash aggregate with an in-group
+    * sort of the surviving lines only.
     */
   def lineDedup(docs: DataFrame): DataFrame = {
     val w = docs
@@ -307,7 +310,7 @@ object Dedup {
         sequence(lit(0), nChunks),
         i => array_join(slice(col("__w"), i * LineWords + 1, lit(LineWords)), " ")))
         .as(Seq("pos", "line")))
-    val keep = Window.partitionBy(hash60(col("line")))
+    val keep = Window.partitionBy(col("line"))
       .orderBy(col("doc_id"), col("pos"))
     chunks
       .withColumn("__rn", row_number().over(keep))
@@ -342,7 +345,7 @@ object Dedup {
        |  FROM w
        |), ranked AS (
        |  SELECT doc_id, pos, line,
-       |         row_number() OVER (PARTITION BY ${hash60Sql("line")}
+       |         row_number() OVER (PARTITION BY line
        |                            ORDER BY doc_id, pos) AS rn
        |  FROM chunks
        |)

@@ -88,7 +88,12 @@ object TextOps {
     * (map-side partial combine) and a TakeOrdered top-k — the global
     * sort is never materialized, only k rows leave the executors.
     */
-  def vocab(docs: DataFrame, k: Int = 100): DataFrame =
+  /** Top-k cut size shared by [[vocab]]'s default and [[vocabSql]] —
+    * interpolated in both so operator and oracle cannot desynchronize.
+    */
+  val VocabK = 100
+
+  def vocab(docs: DataFrame, k: Int = VocabK): DataFrame =
     docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("occurrences"),
@@ -100,11 +105,11 @@ object TextOps {
     vocab(spark.read.parquet(s"$dir/documents.parquet"))
 
   val vocabSql: String =
-    """SELECT word, count(*) AS occurrences,
-      |       count(DISTINCT doc_id) AS doc_freq
-      |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-      |      FROM documents)
-      |GROUP BY word ORDER BY occurrences DESC, word LIMIT 100""".stripMargin
+    s"""SELECT word, count(*) AS occurrences,
+       |       count(DISTINCT doc_id) AS doc_freq
+       |FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |      FROM documents)
+       |GROUP BY word ORDER BY occurrences DESC, word LIMIT $VocabK""".stripMargin
 
   // ------------------------------------------------------------- queries
 
