@@ -239,6 +239,9 @@ object Corpus {
     *   too_short    — fewer than 5 normalized words,
     *   punct_soup   — punctuation > 30% of characters,
     *   long_words   — mean word length > 12 chars (lorem-style junk),
+    *   repetitive   — > 30% of 3-gram positions are duplicates (the
+    *                  Gopher repetition-removal signal: spam loops,
+    *                  keyword stuffing, boilerplate),
     *   no_stopwords — >= 20 words but zero stopword hits in EVERY
     *                  language marker set (langId 'und'): long
     *                  stretches of text with no function words in any
@@ -248,9 +251,13 @@ object Corpus {
     val nWords = size(TextOps.words(text)).cast("long")
     val nChars = length(text).cast("long")
     val nPunct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+    val sh = Dedup.shingles(text)
+    val nSh = size(sh).cast("long")
+    val nDup = (size(sh) - size(array_distinct(sh))).cast("long")
     when(nWords < 5, "too_short")
       .when(nPunct * 100 > nChars * 30, "punct_soup")
       .when(nChars > nWords * 12, "long_words")
+      .when(nDup * 100 > nSh * 30, "repetitive")
       .when(nWords >= 20 && TextOps.langId(text) === "und", "no_stopwords")
       .otherwise("keep")
   }
@@ -270,10 +277,13 @@ object Corpus {
     val es = s"len(regexp_extract_all(lower(text), '\\b(${TextOps.EsStops.mkString("|")})\\b'))"
     val fr = s"len(regexp_extract_all(lower(text), '\\b(${TextOps.FrStops.mkString("|")})\\b'))"
     val isUnd = s"greatest($de,$en,$es,$fr) = 0"
+    val nSh = s"CAST(len(${Dedup.ShinglesSql}) AS BIGINT)"
+    val nDup = s"CAST(len(${Dedup.ShinglesSql}) - len(list_distinct(${Dedup.ShinglesSql})) AS BIGINT)"
     s"""SELECT doc_id,
        |  CASE WHEN $nWords < 5 THEN 'too_short'
        |       WHEN $nPunct * 100 > $nChars * 30 THEN 'punct_soup'
        |       WHEN $nChars > $nWords * 12 THEN 'long_words'
+       |       WHEN $nDup * 100 > $nSh * 30 THEN 'repetitive'
        |       WHEN $nWords >= 20 AND $isUnd THEN 'no_stopwords'
        |       ELSE 'keep' END AS verdict,
        |  CAST(greatest(0, least(100,

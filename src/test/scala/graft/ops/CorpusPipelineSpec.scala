@@ -120,11 +120,13 @@ class CorpusPipelineSpec extends SparkSpec {
       (3L, "extraordinarily incomprehensible characteristically "
         + "disproportionately institutionalization"), // long_words
       (4L, (1 to 25).map(i => s"w$i").mkString(" ")), // no_stopwords (und)
-      (5L, "the cat sat on the mat and it is happy today")) // keep
+      (5L, "the cat sat on the mat and it is happy today"), // keep
+      (6L, Seq.fill(30)("spam").mkString(" "))) // repetitive (1 distinct 3-gram)
     val got = rows.toDF("doc_id", "text")
       .select($"doc_id", Corpus.qualityVerdict($"text").as("v"))
       .as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "too_short", 2L -> "punct_soup",
-      3L -> "long_words", 4L -> "no_stopwords", 5L -> "keep"))
+      3L -> "long_words", 4L -> "no_stopwords", 5L -> "keep",
+      6L -> "repetitive"))
   }
 }
