@@ -1,0 +1,83 @@
+package graft
+
+import graft.ingest.TokenGen
+import graft.table.TokenTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan regression guards: the properties PLANS.md records by
+  * eyeballing `PlanAudit` output, asserted in CI. A change that
+  * silently adds a shuffle, loses parquet filter pushdown, or degrades
+  * a join to a nested loop fails here even though results stay correct.
+  *
+  * Assertions are string-level over the executed plan — coarse on
+  * purpose (node class names are stable across Spark minor versions;
+  * operator internals are not).
+  */
+class PlanRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Full-data shuffles only (broadcast exchanges excluded). */
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(plan(df)).length
+
+  private val docs = "/root/testdata/sf0.001"
+
+  test("quality filter plans as a pure scan projection — zero exchanges") {
+    val df = spark.read.parquet(s"$docs/documents.parquet")
+      .select($"doc_id", ops.Corpus.qualityVerdict($"text").as("v"))
+    assert(shuffles(df) == 0, plan(df))
+    assert(!plan(df).contains("BroadcastExchange"))
+  }
+
+  test("sequence packing plans exactly one full-data shuffle, offsets broadcast") {
+    val df = ops.Corpus.packSequences(spark.read.parquet(s"$docs/documents.parquet"))
+    assert(shuffles(df) == 1, plan(df))
+    assert(plan(df).contains("BroadcastExchange"), plan(df))
+  }
+
+  test("first-wins dedup window shuffles once per key with map-side group limit") {
+    val df = graft.maintain.Merge.dedupFirstWins(
+      TokenGen.generate(spark, 1000, numPartitions = 2), "offset")
+    assert(shuffles(df) == 1, plan(df))
+    assert(plan(df).contains("WindowGroupLimit"), plan(df))
+  }
+
+  test("no nested-loop join anywhere in merge, scan or dedup plans") {
+    val loc = tmpDir("planreg")
+    val t = TokenTable.create(spark, loc)
+    t.append(TokenGen.asTokenRows(TokenGen.generate(spark, 2000, numPartitions = 2)))
+    val src = TokenGen.asTokenRows(
+      TokenGen.generate(spark, 100, idOffset = 1000, numPartitions = 1))
+    val merged = t.scan().join(src, Seq("doc_id"), "left_anti")
+    assert(!plan(merged).contains("NestedLoop"), plan(merged))
+    assert(plan(merged).contains("BroadcastHashJoin"), plan(merged))
+  }
+
+  test("filtered scan pushes predicates and prunes columns at the parquet source") {
+    val loc = tmpDir("planreg2")
+    val t = TokenTable.create(spark, loc)
+    t.append(TokenGen.asTokenRows(TokenGen.generate(spark, 2000, numPartitions = 2)))
+    val df = t.scan().filter($"source" === "web" && $"n_tok" > 100)
+      .select($"doc_id", $"n_tok")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(source,web)"), p)
+    // Column pruning: the scan's ReadSchema must not include tokens.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse(
+      "ReadSchema: " + p.split("ReadSchema:").last.takeWhile(_ != '>'))
+    assert(!readSchema.contains("tokens"), p)
+  }
+
+  test("curve-key projection stays in one whole-stage codegen span") {
+    val df = TokenGen.asTokenRows(TokenGen.generate(spark, 100, numPartitions = 1))
+      .select(graft.functions.CurveKeys.zkey(20,
+        xxhash64($"doc_id").bitwiseAND(lit((1L << 20) - 1)),
+        lit(3L), least($"n_tok".cast("long"), lit(1048575L))).as("z"))
+    // In compact plan strings the whole-stage-codegen marker is the
+    // "*(n)" stage prefix on the operator.
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan(df)).isDefined, plan(df))
+  }
+}
