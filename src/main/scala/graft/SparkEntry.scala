@@ -60,6 +60,7 @@ object SparkEntry {
     "corpus_quality_filter" -> ((s, d) => ops.Corpus.qualityFilterQuery(s, d)),
     "dedup_lines" -> ((s, d) => ops.Dedup.lineDedupQuery(s, d)),
     "corpus_vocab" -> ((s, d) => ops.TextOps.vocabQuery(s, d)),
+    "corpus_pipeline_e2e" -> ((s, d) => ops.Corpus.pipelineQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -101,5 +102,6 @@ object SparkEntry {
     "corpus_quality_filter" -> ops.Corpus.qualityFilterSql,
     "dedup_lines" -> ops.Dedup.lineDedupSql,
     "corpus_vocab" -> ops.TextOps.vocabSql,
+    "corpus_pipeline_e2e" -> ops.Corpus.pipelineSql,
   )
 }

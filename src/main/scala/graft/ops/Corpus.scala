@@ -142,11 +142,18 @@ object Corpus {
     import spark.implicits._
     val nBuckets = spark.sessionState.conf.numShufflePartitions.max(1)
     val width = (1L << 60) / nBuckets + 1
+    // Persisted: the totals pass below and the caller's final action
+    // would otherwise BOTH recompute the whole upstream plan (for a
+    // composed pipeline that means re-running its regex-heavy filter
+    // stages). The cached projection is three longs per doc (~24
+    // bytes/doc — 24 GB per 10^9 docs, spilled to disk if needed),
+    // cheap at any scale relative to re-reading the corpus.
     val keyed = docs
       .select(col("doc_id"), TextOps.tokenCountWs(col("text")).as("n_tok"),
         Dedup.hash60(concat(lit("pack:"), col("doc_id").cast("string"))).as("k"))
       .filter(col("n_tok") > 0)
       .withColumn("pid", expr(s"k div $width"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val totals = keyed.groupBy(col("pid"))
       .agg(sum(col("n_tok")).as("t"))
@@ -171,12 +178,15 @@ object Corpus {
   def packQuery(spark: SparkSession, dir: String): DataFrame =
     packSequences(spark.read.parquet(s"$dir/documents.parquet"))
 
-  val packSql: String =
+  /** Pack oracle over an arbitrary source relation (must expose
+    * `doc_id, text`) so composed pipelines can reuse it verbatim.
+    */
+  def packSqlOver(rel: String): String =
     s"""WITH t AS (
        |  SELECT doc_id,
        |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
        |         ${Dedup.hash60Sql("'pack:' || doc_id::VARCHAR")} AS k
-       |  FROM documents
+       |  FROM $rel
        |  WHERE len(regexp_extract_all(text, '\\S+')) > 0
        |), c AS (
        |  SELECT doc_id, n_tok,
@@ -189,6 +199,8 @@ object Corpus {
        |       CAST((cum - n_tok) % $PackBudget AS BIGINT) AS seq_pos,
        |       CAST(((cum - 1) // $PackBudget) - ((cum - n_tok) // $PackBudget) + 1 AS BIGINT) AS spans
        |FROM c""".stripMargin
+
+  val packSql: String = packSqlOver("documents")
 
   // --------------------------------------------------- stratified sample
 
@@ -220,14 +232,20 @@ object Corpus {
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n"))
 
-  val sampleSql: String = {
+  /** The sample predicate as a reusable SQL fragment (needs `doc_id`
+    * and `lang` in scope).
+    */
+  val samplePredicateSql: String = {
     val rate = "CASE lang " +
       SampleRates.map { case (l, p) => s"WHEN '$l' THEN $p" }.mkString(" ") +
       " ELSE 100 END"
-    s"""SELECT lang, source, count(*) AS n FROM documents
-       |WHERE ${Dedup.hash60Sql("'sample:' || doc_id::VARCHAR")} % 100 < $rate
-       |GROUP BY 1, 2""".stripMargin
+    s"${Dedup.hash60Sql("'sample:' || doc_id::VARCHAR")} % 100 < $rate"
   }
+
+  val sampleSql: String =
+    s"""SELECT lang, source, count(*) AS n FROM documents
+       |WHERE $samplePredicateSql
+       |GROUP BY 1, 2""".stripMargin
 
   // ------------------------------------------------------ quality filter
 
@@ -267,11 +285,11 @@ object Corpus {
       .select(col("doc_id"), qualityVerdict(col("text")).as("verdict"),
         TextOps.qualityScore(col("text")).as("quality"))
 
-  val qualityFilterSql: String = {
+  /** The verdict as a reusable SQL fragment (needs `text` in scope). */
+  val qualityVerdictCaseSql: String = {
     val nWords = "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)"
     val nChars = "CAST(length(text) AS BIGINT)"
     val nPunct = "CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT)"
-    val nStops = s"CAST(len(regexp_extract_all(lower(text), '\\b(${TextOps.EnStops.mkString("|")})\\b')) AS BIGINT)"
     val de = s"len(regexp_extract_all(lower(text), '\\b(${TextOps.DeStops.mkString("|")})\\b'))"
     val en = s"len(regexp_extract_all(lower(text), '\\b(${TextOps.EnStops.mkString("|")})\\b'))"
     val es = s"len(regexp_extract_all(lower(text), '\\b(${TextOps.EsStops.mkString("|")})\\b'))"
@@ -279,13 +297,21 @@ object Corpus {
     val isUnd = s"greatest($de,$en,$es,$fr) = 0"
     val nSh = s"CAST(len(${Dedup.ShinglesSql}) AS BIGINT)"
     val nDup = s"CAST(len(${Dedup.ShinglesSql}) - len(list_distinct(${Dedup.ShinglesSql})) AS BIGINT)"
+    s"""CASE WHEN $nWords < 5 THEN 'too_short'
+       |     WHEN $nPunct * 100 > $nChars * 30 THEN 'punct_soup'
+       |     WHEN $nChars > $nWords * 12 THEN 'long_words'
+       |     WHEN $nDup * 100 > $nSh * 30 THEN 'repetitive'
+       |     WHEN $nWords >= 20 AND $isUnd THEN 'no_stopwords'
+       |     ELSE 'keep' END""".stripMargin
+  }
+
+  val qualityFilterSql: String = {
+    val nWords = "CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)"
+    val nChars = "CAST(length(text) AS BIGINT)"
+    val nPunct = "CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT)"
+    val nStops = s"CAST(len(regexp_extract_all(lower(text), '\\b(${TextOps.EnStops.mkString("|")})\\b')) AS BIGINT)"
     s"""SELECT doc_id,
-       |  CASE WHEN $nWords < 5 THEN 'too_short'
-       |       WHEN $nPunct * 100 > $nChars * 30 THEN 'punct_soup'
-       |       WHEN $nChars > $nWords * 12 THEN 'long_words'
-       |       WHEN $nDup * 100 > $nSh * 30 THEN 'repetitive'
-       |       WHEN $nWords >= 20 AND $isUnd THEN 'no_stopwords'
-       |       ELSE 'keep' END AS verdict,
+       |  $qualityVerdictCaseSql AS verdict,
        |  CAST(greatest(0, least(100,
        |    least($nWords, 50)
        |    + least($nStops * 5, 30)
@@ -293,5 +319,46 @@ object Corpus {
        |    - least($nPunct * 100 // greatest($nChars, 1), 30)
        |  )) AS BIGINT) AS quality
        |FROM documents""".stripMargin
+  }
+
+  // --------------------------------------------- end-to-end pipeline
+
+  /** The composed corpus-to-training-data pipeline — what a user of
+    * this engine actually runs, chained in ONE declarative DataFrame
+    * program (Catalyst fuses the scan-stage predicates; the only
+    * shuffles are the exact-dedup window and packing's single
+    * exchange):
+    *
+    *   1. quality filter (keep only 'keep' verdicts),
+    *   2. exact dedup (first-wins on md5(text)),
+    *   3. stratified per-language sampling,
+    *   4. deterministic train split,
+    *   5. sequence packing of the surviving train corpus.
+    *
+    * Every stage is individually oracle-checked elsewhere; this query
+    * verifies their COMPOSITION end-to-end against one composed oracle.
+    */
+  def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val kept = docs.filter(qualityVerdict(col("text")) === "keep")
+    val deduped = kept
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val sampled = stratifiedSample(deduped)
+    val train = sampled.filter(splitCol(col("doc_id")) === "train")
+    packSequences(train)
+  }
+
+  val pipelineSql: String = {
+    val inner =
+      s"""SELECT doc_id, text FROM (
+         |  SELECT doc_id, text, lang,
+         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM documents
+         |  WHERE $qualityVerdictCaseSql = 'keep'
+         |) WHERE rn = 1 AND $samplePredicateSql
+         |  AND ${splitSql("doc_id")} = 'train'""".stripMargin
+    packSqlOver(s"($inner)")
   }
 }

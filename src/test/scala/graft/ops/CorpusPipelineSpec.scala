@@ -113,6 +113,30 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(direct == occ)
   }
 
+  test("end-to-end pipeline composes: output only packs kept, deduped, sampled train docs") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = Corpus.pipelineQuery(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    // Recompute the survivor set stage by stage with an independent
+    // in-memory model (pure-JVM md5 for the hash predicates).
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val kept = docs.filter(Corpus.qualityVerdict($"text") === "keep")
+      .select($"doc_id", $"text", $"lang").as[(Long, String, String)].collect()
+    val firstPerText = kept.groupBy(_._2).values.map(_.minBy(_._1)._1).toSet
+    val expected = kept
+      .filter(r => firstPerText.contains(r._1))
+      .filter(r => h60(s"sample:${r._1}") % 100 <
+        Corpus.SampleRates.getOrElse(r._3, 100))
+      .filter(r => h60(s"split:${r._1}") % 100 < 80) // train
+      .filter(_._2.trim.nonEmpty) // packing excludes zero-token docs
+      .map(_._1).toSet
+    assert(out == expected)
+  }
+
   test("quality verdict fires each rule on a crafted doc, first rule wins") {
     val rows = Seq(
       (1L, "a b"), // too_short (2 words)
