@@ -265,11 +265,20 @@ object Corpus {
     *                  stretches of text with no function words in any
     *                  covered language are gibberish / non-prose.
     */
-  def qualityVerdict(text: Column): Column = {
-    val nWords = size(TextOps.words(text)).cast("long")
+  /** Verdict over a pre-materialized word-array ATTRIBUTE `w` — the hot
+    * path. The shingle lambda references its word input three times per
+    * position and Catalyst performs no CSE inside lambda bodies, so
+    * passing `TextOps.words(text)` inline re-runs the word regex O(3n)
+    * per document (measured 8x on the composed pipeline); callers must
+    * project the word array in its own select first (CollapseProject
+    * keeps a multiply-referenced non-cheap alias as a projection
+    * barrier).
+    */
+  def qualityVerdictOfWords(text: Column, w: Column): Column = {
+    val nWords = size(w).cast("long")
     val nChars = length(text).cast("long")
     val nPunct = size(regexp_extract_all(text, lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
-    val sh = Dedup.shingles(text)
+    val sh = Dedup.shinglesOfWords(w)
     val nSh = size(sh).cast("long")
     val nDup = (size(sh) - size(array_distinct(sh))).cast("long")
     when(nWords < 5, "too_short")
@@ -280,9 +289,25 @@ object Corpus {
       .otherwise("keep")
   }
 
+  /** Convenience form for small inputs and tests; see
+    * [[qualityVerdictOfWords]] for why large scans must materialize the
+    * word array first.
+    */
+  def qualityVerdict(text: Column): Column =
+    qualityVerdictOfWords(text, TextOps.words(text))
+
+  /** Adds a `verdict` column the scalable way: word array materialized
+    * in its own projection, then the verdict computed over the
+    * attribute. Still fuses into the scan stage — no shuffle.
+    */
+  def withVerdict(docs: DataFrame): DataFrame =
+    docs.withColumn("__w", TextOps.words(col("text")))
+      .withColumn("verdict", qualityVerdictOfWords(col("text"), col("__w")))
+      .drop("__w")
+
   def qualityFilterQuery(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), qualityVerdict(col("text")).as("verdict"),
+    withVerdict(spark.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"), col("verdict"),
         TextOps.qualityScore(col("text")).as("quality"))
 
   /** The verdict as a reusable SQL fragment (needs `text` in scope). */
@@ -340,7 +365,7 @@ object Corpus {
     */
   def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val kept = docs.filter(qualityVerdict(col("text")) === "keep")
+    val kept = withVerdict(docs).filter(col("verdict") === "keep").drop("verdict")
     val deduped = kept
       .withColumn("__rn", row_number().over(
         Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))

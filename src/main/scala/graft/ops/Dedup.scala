@@ -49,16 +49,15 @@ object Dedup {
 
   /** 3-word shingles over a MATERIALIZED word-array column; whole text
     * if < 3 words. Callers must bind `w` to an attribute (see
-    * [[explodedShingles]]), never pass `TextOps.words(text)` directly:
-    * the lambda references `w` three times per shingle position and
-    * Catalyst does no CSE inside lambda bodies, so an inline regex would
-    * re-scan the text O(3n) times per document.
+    * [[explodedShingles]]), never pass `TextOps.words(text)` directly,
+    * so the word regex runs once per document. Native codegen kernel
+    * ([[graft.functions.WordGrams]]): the HOF formulation it replaces
+    * (`transform(sequence(...), i -> concat_ws(...))`) is interpreted
+    * per shingle position — measured ~300x slower per row, dominating
+    * every near-dup kernel and the quality filter.
     */
   def shinglesOfWords(w: Column): Column =
-    when(size(w) < 3, array(array_join(w, " ")))
-      .otherwise(transform(sequence(lit(0), size(w) - 3), i =>
-        concat_ws(" ",
-          element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3))))
+    graft.functions.TextGrams.sliding(w, 3)
 
   /** 3-word shingles from raw text (library convenience; the hot paths
     * below use [[explodedShingles]] so the word regex runs once per doc).
@@ -302,13 +301,11 @@ object Dedup {
     val w = docs
       .select(col("doc_id"), TextOps.words(col("text")).as("__w"))
       .filter(size(col("__w")) > 0)
-    // `div`, not `/`: Column./ is double division, and sequence()
-    // demands integral bounds under ANSI.
-    val nChunks = expr(s"(size(__w) - 1) div $LineWords")
+    // Native tumbling-chunk kernel (ceil(n/10) chunks, last one short) —
+    // same output as the slice()-HOF formulation it replaces, without
+    // the per-chunk interpreted-lambda cost.
     val chunks = w.select(col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), nChunks),
-        i => array_join(slice(col("__w"), i * LineWords + 1, lit(LineWords)), " ")))
+      posexplode(graft.functions.TextGrams.tumbling(col("__w"), LineWords))
         .as(Seq("pos", "line")))
     val keep = Window.partitionBy(col("line"))
       .orderBy(col("doc_id"), col("pos"))

@@ -27,8 +27,8 @@ class PlanRegressionSpec extends SparkSpec {
   private val docs = "/root/testdata/sf0.001"
 
   test("quality filter plans as a pure scan projection — zero exchanges") {
-    val df = spark.read.parquet(s"$docs/documents.parquet")
-      .select($"doc_id", ops.Corpus.qualityVerdict($"text").as("v"))
+    val df = ops.Corpus.withVerdict(spark.read.parquet(s"$docs/documents.parquet"))
+      .select($"doc_id", $"verdict")
     assert(shuffles(df) == 0, plan(df))
     assert(!plan(df).contains("BroadcastExchange"))
   }

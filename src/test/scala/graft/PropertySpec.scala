@@ -113,6 +113,32 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("WordGrams native kernel == HOF formulation (sliding shingles + tumbling chunks)") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val genWords = Gen.listOf(Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(8)), Gen.const(""), Gen.numStr.map(_.take(4))))
+    check("wordGrams", Prop.forAll(genWords) { ws =>
+      val df = Seq(Tuple1(ws)).toDF("w")
+      val slidingHof = when(size($"w") < 3, array(array_join($"w", " ")))
+        .otherwise(transform(sequence(lit(0), size($"w") - 3), i =>
+          concat_ws(" ",
+            element_at($"w", i + 1), element_at($"w", i + 2), element_at($"w", i + 3))))
+      val tumblingHof = transform(
+        sequence(lit(0), expr("(size(w) - 1) div 10")),
+        i => array_join(slice($"w", i * 10 + 1, lit(10)), " "))
+      val row = df.select(
+        graft.functions.TextGrams.sliding($"w", 3).as("ns"),
+        slidingHof.as("hs"),
+        graft.functions.TextGrams.tumbling($"w", 10).as("nt"),
+        when(size($"w") === 0, array().cast("array<string>"))
+          .otherwise(tumblingHof).as("ht")
+      ).as[(Seq[String], Seq[String], Seq[String], Seq[String])].head()
+      row._1 == row._2 && row._3 == row._4
+    }, cases = 60)
+  }
+
   test("first-wins dedup model: lowest offset wins per key, offsets unique per (topic,partition)") {
     // In-memory reference model of Ingest.dedupFirstWins for inputs
     // where same-(topic,partition,offset) records are byte-identical
