@@ -35,17 +35,24 @@ object Similarity {
 
   /** Integer quantization: q_j = floor(v_j*100 + 0.5) (deterministic in
     * both engines — float->double is exact, the multiply/add/floor are
-    * IEEE-identical).
+    * IEEE-identical). Native codegen kernel
+    * ([[graft.functions.QuantizeVec]]): the `transform` HOF it replaces
+    * is interpreted per element.
     */
   def quantize(emb: Column): Column =
-    transform(emb, v => floor(v.cast("double") * QuantScale + 0.5d).cast("long"))
+    graft.functions.VecOps.quantize(emb, QuantScale)
 
   val quantizeSql: String =
     s"list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * $QuantScale + 0.5) AS BIGINT))"
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — native
+    * codegen kernel ([[graft.functions.QDotVec]]). The ANN signature
+    * stage evaluates dim x nPlanes of these per row; the
+    * `aggregate(zip_with(...))` HOF form was interpreted per element
+    * and dominated every similarity query.
+    */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VecOps.qdot(a, b)
 
   /** Rank score: dot / sqrt(na*nb) in double. Identical integer inputs
     * + identical IEEE ops = identical ranking across engines.
@@ -146,9 +153,7 @@ object Similarity {
     */
   def lshSignature(qemb: Column, dim: Int, first: Int, nPlanes: Int): Column =
     (0 until nPlanes).map { p =>
-      val dotC = aggregate(
-        zip_with(qemb, lit(plane(first + p, dim)), (v, h) => v * h),
-        lit(0L), (acc, v) => acc + v)
+      val dotC = qdot(qemb, lit(plane(first + p, dim)))
       when(dotC > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -139,6 +139,32 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 60)
   }
 
+  test("QuantizeVec/QDotVec native kernels == HOF formulations on random float vectors") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val genVecs = for {
+      n <- Gen.choose(0, 16)
+      a <- Gen.listOfN(n, Gen.choose(-1.2f, 1.2f))
+      b <- Gen.listOfN(n, Gen.choose(-1.2f, 1.2f))
+    } yield (a, b)
+    check("vecKernels", Prop.forAll(genVecs) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val qa = graft.ops.Similarity.quantize($"a")
+      val qb = graft.ops.Similarity.quantize($"b")
+      def hofQuant(c: org.apache.spark.sql.Column) =
+        transform(c, v => floor(v.cast("double") * 100 + 0.5d).cast("long"))
+      def hofDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        coalesce(aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v), lit(0L))
+      val row = df.select(
+        qa.as("nq"), hofQuant($"a").as("hq"),
+        graft.ops.Similarity.qdot(qa, qb).as("nd"),
+        hofDot(hofQuant($"a"), hofQuant($"b")).as("hd")
+      ).as[(Seq[Long], Seq[Long], Long, Long)].head()
+      row._1 == row._2 && row._3 == row._4
+    }, cases = 60)
+  }
+
   test("first-wins dedup model: lowest offset wins per key, offsets unique per (topic,partition)") {
     // In-memory reference model of Ingest.dedupFirstWins for inputs
     // where same-(topic,partition,offset) records are byte-identical
