@@ -65,9 +65,12 @@ object TokenGen {
     base
       .withColumn("doc_id", docId)
       .withColumn("n_tok", len)
+      // Native kernel, bit-identical to
+      // transform(sequence(0, n_tok-1), j -> pmod(xxhash64(doc_id, j), Vocab))
+      // (property-tested): the HOF form re-hashed doc_id per ELEMENT
+      // through an interpreted lambda — ~10^8 evals per bench ingest.
       .withColumn("tokens",
-        transform(sequence(lit(0), col("n_tok") - 1),
-          j => pmod(xxhash64(col("doc_id"), j), lit(Vocab.toLong)).cast("int")))
+        graft.functions.GenOps.tokenSeq(col("doc_id"), col("n_tok"), Vocab))
       .withColumn("source", sourceFor(col("doc_id")))
       .withColumn("offset", col("id") + lit(idOffset)) // ingest-order lineage column
       .select("doc_id", "tokens", "n_tok", "source", "offset")

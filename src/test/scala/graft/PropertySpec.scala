@@ -165,6 +165,27 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 60)
   }
 
+  test("TokenSeq native kernel == xxhash64 HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val gen = for {
+      id <- Gen.alphaNumStr.map(s => s"doc_${s.take(12)}")
+      n <- Gen.choose(0, 40)
+    } yield (id, n)
+    check("tokenSeq", Prop.forAll(gen) { case (id, n) =>
+      val df = Seq((id, n)).toDF("doc_id", "n_tok")
+      val hof = when(col("n_tok") === 0, array().cast("array<int>"))
+        .otherwise(transform(sequence(lit(0), col("n_tok") - 1),
+          j => pmod(xxhash64(col("doc_id"), j), lit(50257L)).cast("int")))
+      val row = df.select(
+        graft.functions.GenOps.tokenSeq($"doc_id", $"n_tok", 50257).as("nk"),
+        hof.as("hk")
+      ).as[(Seq[Int], Seq[Int])].head()
+      row._1 == row._2
+    }, cases = 60)
+  }
+
   test("first-wins dedup model: lowest offset wins per key, offsets unique per (topic,partition)") {
     // In-memory reference model of Ingest.dedupFirstWins for inputs
     // where same-(topic,partition,offset) records are byte-identical
