@@ -117,4 +117,30 @@ object TextGrams {
   /** Tumbling word chunks: `ceil(n/width)` grams, last one short. */
   def tumbling(words: Column, width: Int): Column =
     GraftSqlBridge.column(WordGrams(GraftSqlBridge.expression(words), width, width))
+
+  /** Session-local SQL registration of all text/vector/generator
+    * kernels (`word_grams`, `quantize_vec`, `qdot_vec`, `token_seq`) —
+    * the temp-function analog of [[graft.GraftExtensions]], which
+    * injects the same builders for `--conf spark.sql.extensions`
+    * sessions. Constant parameters (width/stride/scale/vocab) must be
+    * INT literals: the kernels specialize on them at plan time.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.types.IntegerType
+    def intLit(e: Expression, fn: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal INT parameter, got $other")
+    }
+    GraftSqlBridge.registerFunction(spark, "word_grams",
+      (es: Seq[Expression]) =>
+        WordGrams(es.head, intLit(es(1), "word_grams"), intLit(es(2), "word_grams")))
+    GraftSqlBridge.registerFunction(spark, "quantize_vec",
+      (es: Seq[Expression]) => QuantizeVec(es.head, intLit(es(1), "quantize_vec")))
+    GraftSqlBridge.registerFunction(spark, "qdot_vec",
+      (es: Seq[Expression]) => QDotVec(es.head, es(1)))
+    GraftSqlBridge.registerFunction(spark, "token_seq",
+      (es: Seq[Expression]) => TokenSeq(es.head, es(1), intLit(es(2), "token_seq")))
+  }
 }

@@ -152,12 +152,17 @@ object Dedup {
       col("band_idx"), col("band_key"))
     val b = capped.select(col("doc_id").as("b"), col("sig").as("sig_b"),
       col("band_idx"), col("band_key"))
+    // Elementwise codegen'd sum, not aggregate(zip_with(...)): the HOF
+    // pair is interpreted per element, and this projection runs once
+    // per CANDIDATE PAIR (billions at corpus scale). K is a plan-time
+    // constant, so the unrolled element_at chain stays in the join's
+    // codegen span.
+    val sigMatches = (0 until MinhashK).map(j =>
+      when(element_at(col("sig_a"), j + 1) === element_at(col("sig_b"), j + 1), 1L)
+        .otherwise(0L)).reduce(_ + _)
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (acc, v) => acc + v)
-          .as("sig_matches"))
+      .select(col("a"), col("b"), sigMatches.as("sig_matches"))
       .distinct()
       .filter(col("sig_matches") >= minMatches)
   }

@@ -71,6 +71,37 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!readSchema.contains("tokens"), p)
   }
 
+  test("hot paths carry no interpreted lambdas (HOFs are CodegenFallback, ~300x/row)") {
+    // Spark higher-order functions (transform/aggregate/zip_with) show
+    // up as `lambdafunction(...)` in the plan and evaluate interpreted
+    // per ELEMENT. Every hot path uses the native kernels instead
+    // (WordGrams, QuantizeVec/QDotVec, TokenSeq); a lambda sneaking
+    // back into one of these plans is a performance regression even
+    // though results stay correct.
+    val d = spark.read.parquet(s"$docs/documents.parquet")
+    val e = spark.read.parquet(s"$docs/embeddings.parquet")
+    val hot: Seq[(String, DataFrame)] = Seq(
+      "quality_filter" -> ops.Corpus.withVerdict(d).select($"doc_id", $"verdict"),
+      "minhash_sigs" -> ops.Dedup.minhashSignatures(d.select($"doc_id", $"text")),
+      "line_dedup" -> {
+        // lineDedup's final text-rebuild transform runs once per DOC on
+        // the already-aggregated survivors (not per element of a hot
+        // array) — exclude the agg, guard the per-row chunking stage.
+        d.select($"doc_id", ops.TextOps.words($"text").as("__w"))
+          .select($"doc_id",
+            posexplode(graft.functions.TextGrams.tumbling($"__w", ops.Dedup.LineWords))
+              .as(Seq("pos", "line")))
+      },
+      "lsh_signatures" -> e.select($"vec_id",
+        ops.Similarity.quantize($"embedding").as("q"))
+        .withColumn("sig", ops.Similarity.lshSignature($"q", 64, 0, 8)),
+      "token_gen" -> TokenGen.generate(spark, 100, numPartitions = 1))
+    hot.foreach { case (name, df) =>
+      val p = plan(df)
+      assert(!p.contains("lambdafunction"), s"$name plan has an interpreted lambda:\n$p")
+    }
+  }
+
   test("curve-key projection stays in one whole-stage codegen span") {
     val df = TokenGen.asTokenRows(TokenGen.generate(spark, 100, numPartitions = 1))
       .select(graft.functions.CurveKeys.zkey(20,
