@@ -77,8 +77,10 @@ object LlmScaleProbe {
       TextOps.vocab(docs, 100).collect()
     }
     timed("quality_filter") {
-      docs.select(Corpus.qualityVerdict(col("text")).as("v"))
-        .groupBy(col("v")).count().collect()
+      // withVerdict, not the inline convenience form: the verdict
+      // references the word array several times and only the
+      // materialized-attribute form runs the word regex once per doc.
+      Corpus.withVerdict(docs).groupBy(col("verdict")).count().collect()
     }
     spark.stop()
   }

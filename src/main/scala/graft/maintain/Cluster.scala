@@ -70,6 +70,52 @@ object Cluster {
     if (boundaries.isEmpty) lit(0)
     else SearchOps.bucketOf(col("ckey"), boundaries)
 
+  /** Shuffle-key preimages for EXACT partition placement through plain
+    * hash repartitioning: x(p) is a long with
+    * `pmod(hash(x(p)), n) == p`, so
+    * `repartition(n, element_at(preimages, pid + 1))` sends every row
+    * with target partition `pid` to exactly partition `pid` — the
+    * placement `repartitionByRange(n, pid)` gives, WITHOUT
+    * RangePartitioning's boundary-sampling job, which re-executes the
+    * whole child plan (scan + curve-key projection, token arrays
+    * included) a second time just to sketch a column we already
+    * computed exactly. One table-sized pass saved per clustering run.
+    *
+    * Found by evaluating Spark's own `pmod(hash(id), n)` over a small
+    * range (never a reimplementation of Murmur3, so it cannot drift
+    * from HashPartitioning's `Pmod(Murmur3Hash(exprs), n)`); coupon
+    * collector says 32n candidates cover all n residues with
+    * overwhelming probability, and the span quadruples until they do.
+    */
+  def hashPreimages(spark: SparkSession, n: Int): Array[Long] = {
+    import spark.implicits._
+    require(n >= 1, s"need at least one partition, got $n")
+    var span = 32L * n
+    while (span <= 2048L * n) {
+      val found = spark.range(span)
+        .select(pmod(hash($"id"), lit(n)).cast("int").as("p"), $"id")
+        .groupBy($"p").agg(min($"id").as("x"))
+        .as[(Int, Long)].collect()
+      if (found.length == n) {
+        val arr = new Array[Long](n)
+        found.foreach { case (p, x) => arr(p) = x }
+        return arr
+      }
+      span *= 4
+    }
+    throw new IllegalStateException(
+      s"hashPreimages: ${2048L * n} candidates left a residue class mod $n empty")
+  }
+
+  /** Exchange rows to partition `pid` exactly (see [[hashPreimages]]);
+    * `pidCol` must be an INT in [0, n). */
+  def exchangeByPid(df: DataFrame, pidCol: Column, n: Int): DataFrame = {
+    val pre = hashPreimages(df.sparkSession, n)
+    df.withColumn("__sk", element_at(lit(pre), pidCol + 1))
+      .repartition(n, col("__sk"))
+      .drop("__sk")
+  }
+
   /** Salt factor per bucket from the sampled histogram: buckets whose
     * sample share exceeds 2x the mean get split into ceil(share/mean)
     * sub-partitions (salt-based skew splitting, north_rule). Generic in
@@ -144,11 +190,12 @@ object Cluster {
     var acc = 0
     (0 until bases.length).foreach { b => bases(b) = acc; acc += salts.getOrElse(b, 1) }
 
-    val clustered = table.scan()
-      .withColumn("bucket", bucketExpr)
-      .withColumn("salt", saltExpr)
-      .withColumn("pid", element_at(lit(bases), col("bucket") + 1) + col("salt"))
-      .repartitionByRange(math.max(1, acc), $"pid")
+    val clustered = exchangeByPid(
+      table.scan()
+        .withColumn("bucket", bucketExpr)
+        .withColumn("salt", saltExpr)
+        .withColumn("pid", element_at(lit(bases), col("bucket") + 1) + col("salt")),
+      $"pid", math.max(1, acc))
       .sortWithinPartitions($"doc_id")
       .select("doc_id", "tokens", "n_tok", "source")
 
@@ -235,23 +282,27 @@ object Cluster {
       pmod(xxhash64($"doc_id"), factor.cast("long")).cast("int")
     }
     // Exact placement: pid = base(bucket) + salt, where base is the
-    // prefix sum of per-bucket salt factors. `repartition(n, cols)`
-    // HASH-partitions and would collide distinct buckets into one
-    // partition (mixed key ranges in one file); range-partitioning the
-    // dense pid keeps every partition a contiguous key range. The skew
-    // work is already done by our explicit boundaries + salt — the pid
-    // distribution is uniform by construction.
+    // prefix sum of per-bucket salt factors; exchangeByPid sends row ->
+    // partition pid exactly. Naive `repartition(n, $"pid")` would
+    // HASH-collide distinct buckets into shared partitions (mixed key
+    // ranges in one file), and `repartitionByRange(n, $"pid")` pays a
+    // full second child execution for RangePartitioning's sampling job
+    // — the preimage exchange gives range-exact placement with hash
+    // partitioning's single pass. The skew work is already done by our
+    // explicit boundaries + salt — the pid distribution is uniform by
+    // construction.
     val bases = new Array[Int](nBuckets)
     var acc = 0
     (0 until nBuckets).foreach { b =>
       bases(b) = acc; acc += salts.getOrElse(b, 1)
     }
     val numPartitions = acc
-    val clustered = keyed
-      .withColumn("bucket", bucketCol(boundaries))
-      .withColumn("salt", saltExpr)
-      .withColumn("pid", element_at(lit(bases), col("bucket") + 1) + col("salt"))
-      .repartitionByRange(math.max(1, numPartitions), $"pid")
+    val clustered = exchangeByPid(
+      keyed
+        .withColumn("bucket", bucketCol(boundaries))
+        .withColumn("salt", saltExpr)
+        .withColumn("pid", element_at(lit(bases), col("bucket") + 1) + col("salt")),
+      $"pid", math.max(1, numPartitions))
       .sortWithinPartitions($"ckey")
       .select("doc_id", "tokens", "n_tok", "source")
 

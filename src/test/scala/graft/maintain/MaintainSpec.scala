@@ -105,6 +105,24 @@ class MaintainSpec extends SparkSpec {
     assert(web < files.size, "a source='web' scan should prune at least one file")
   }
 
+  test("exchangeByPid places every row in exactly the partition its pid names") {
+    import spark.implicits._
+    for (n <- Seq(1, 7, 64)) {
+      val df = spark.range(2000, 2).toDF("id")
+        .withColumn("pid", pmod(xxhash64($"id"), lit(n)).cast("int"))
+      val placed = Cluster.exchangeByPid(df, $"pid", n)
+        .withColumn("actual", spark_partition_id())
+      assert(placed.filter($"actual" =!= $"pid").count() == 0, s"n=$n misplacement")
+      assert(placed.rdd.getNumPartitions == n)
+    }
+    // The plan must be a single hash exchange — no RangePartitioning
+    // (whose boundary sampling re-executes the child plan end-to-end).
+    val df = spark.range(100).toDF("id").withColumn("pid", lit(0))
+    val p = Cluster.exchangeByPid(df, col("pid"), 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning") && !p.contains("rangepartitioning"), p)
+  }
+
   test("hilbert clustering preserves state") {
     val t = smallFileTable(commits = 6)
     val before = checksum(t.scan())
