@@ -1,0 +1,72 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.schema.MessageTypeParser
+
+/** Driver-side manifest parquet writer (Iceberg-style: metadata
+  * operations must not schedule cluster jobs). The Spark-job form
+  * (`Dataset.write.parquet`) costs a fixed ~0.3 s of job scheduling per
+  * COMMIT — pure serial floor under the ingest path's 24 commits and
+  * invisible to scaling (it amortizes with data size, but the bench's
+  * small commits paid it 24x per cycle). Small, driver-held manifests
+  * (every append / compaction / clustering commit) go through this
+  * writer; genuinely big survivor sets still use
+  * [[TokenTable.writeManifestDS]], which distributes.
+  *
+  * The file lands as `manifest-<uuid>/part-00000.parquet` — the same
+  * directory shape the Spark writer produced, so the GC's
+  * directory-granular reachability ([[graft.maintain.Expire]]) and
+  * every `spark.read.parquet(manifestDir)` reader are unchanged.
+  */
+object Manifests {
+
+  /** Parquet schema mirroring what `Seq[DataFile].toDS().write` wrote:
+    * BINARY(STRING) optionals for strings, required INT32/INT64 for the
+    * primitive fields — Spark reads it back into the identical
+    * DataFrame schema, so `.as[DataFile]` round-trips.
+    */
+  private val Schema = MessageTypeParser.parseMessageType(
+    """message spark_schema {
+      |  optional binary path (STRING);
+      |  required int64 bytes;
+      |  required int64 rows;
+      |  optional binary minDocId (STRING);
+      |  optional binary maxDocId (STRING);
+      |  required int32 minNtok;
+      |  required int32 maxNtok;
+      |  required int64 sumNtok;
+      |  optional binary minSource (STRING);
+      |  optional binary maxSource (STRING);
+      |}""".stripMargin)
+
+  /** Write `rows` as one parquet file under `absDir` (created). */
+  def writeLocal(absDir: String, rows: Seq[DataFile]): Unit = {
+    Files.createDirectories(Paths.get(absDir))
+    val file = new org.apache.hadoop.fs.Path(s"$absDir/part-00000.parquet")
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(file, new Configuration()))
+      .withType(Schema)
+      .withCompressionCodec(CompressionCodecName.ZSTD)
+      .build()
+    val gf = new SimpleGroupFactory(Schema)
+    try rows.foreach { f =>
+      val g = gf.newGroup()
+      if (f.path != null) g.append("path", f.path)
+      g.append("bytes", f.bytes)
+      g.append("rows", f.rows)
+      if (f.minDocId != null) g.append("minDocId", f.minDocId)
+      if (f.maxDocId != null) g.append("maxDocId", f.maxDocId)
+      g.append("minNtok", f.minNtok)
+      g.append("maxNtok", f.maxNtok)
+      g.append("sumNtok", f.sumNtok)
+      if (f.minSource != null) g.append("minSource", f.minSource)
+      if (f.maxSource != null) g.append("maxSource", f.maxSource)
+      writer.write(g)
+    } finally writer.close()
+  }
+}
