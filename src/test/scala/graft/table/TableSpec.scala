@@ -15,6 +15,31 @@ class TableSpec extends SparkSpec {
     assert(Format.fromJson(Format.toJson(s)) == s)
   }
 
+  test("driver-side manifest writer round-trips through Spark, incl. empty and null-stat rows") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("manifests")
+    // Null string stats (a file without doc_id/source stats) and a
+    // normal row must both survive the parquet round trip unchanged.
+    val rows = Seq(
+      DataFile("data/a.parquet", 10L, 2L, "doc_a", "doc_z", 1, 9, 11L, "books", "web"),
+      DataFile("data/b.parquet", 20L, 3L, null, null, 0, 0, 0L, null, null))
+    Manifests.writeLocal(s"$dir/m1", rows)
+    val back = spark.read.parquet(s"$dir/m1")
+      .as[DataFile](org.apache.spark.sql.Encoders.product[DataFile])
+      .collect().sortBy(_.path)
+    assert(back.toSeq == rows)
+    // Empty manifest: schema-complete file, zero rows.
+    Manifests.writeLocal(s"$dir/m2", Nil)
+    val empty = spark.read.parquet(s"$dir/m2")
+    assert(empty.count() == 0 && empty.columns.contains("sumNtok"))
+    // Spark-written and driver-written manifests must be co-readable
+    // (one snapshot can reference both kinds).
+    import spark.implicits._
+    Seq(rows.head).toDS().write.parquet(s"$dir/m3")
+    val union = spark.read.parquet(s"$dir/m1", s"$dir/m3")
+    assert(union.count() == 3 && union.filter(col("minDocId").isNull).count() == 1)
+  }
+
   test("create + append + scan round-trip with per-file min/max stats") {
     val dir = tmpDir("tbl")
     val t = TokenTable.create(spark, dir)
