@@ -134,6 +134,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
       }
     }
+    // Each packSequences call releases its predecessor's cached
+    // projection; drop the final one too so the session ends clean.
+    ops.Corpus.releasePackCache()
 
     val scanTps = tokens / math.max(times("ns_scan_full"), 1e-9)
     val compactGbps = (compactRes.bytesIn / 1e9) / math.max(times("ns_compact"), 1e-9)

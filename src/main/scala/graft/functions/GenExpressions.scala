@@ -9,9 +9,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic token-sequence kernel for the synthetic generator.
-  * Bit-identical to the HOF formulation
+  * Bit-identical, for n_tok >= 1, to the HOF formulation
   * `transform(sequence(0, n_tok-1), j -> pmod(xxhash64(doc_id, j), V))`
-  * (property-tested): Spark's xxhash64 streams its arguments —
+  * (property-tested over that domain). At n_tok = 0 the two diverge BY
+  * DESIGN: Spark's `sequence(0, -1)` auto-selects step -1 and yields
+  * [0, -1] (two positions), while this kernel returns the empty array —
+  * the semantics a zero-length document actually needs. TokenGen never
+  * emits n_tok = 0 (minLen >= 16), but `token_seq` is registered as a
+  * public SQL function, so the divergence is documented here rather
+  * than inherited silently from `sequence`'s step inference.
+  * Spark's xxhash64 streams its arguments —
   * seed 42 -> hash(doc_id) -> hash(j) — so the string hash is a
   * per-ROW constant the HOF recomputes per ELEMENT, on top of the
   * interpreted per-element lambda cost. This kernel hashes the string

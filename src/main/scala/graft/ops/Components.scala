@@ -39,24 +39,42 @@ object Components {
     * dropped.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    // Lineage cut per round: `localCheckpoint` holds round state in
+    // executor block storage — fast, but lost with an executor. When the
+    // session has a reliable checkpoint dir configured
+    // (`sc.setCheckpointDir`, cluster FS), use a real `checkpoint`
+    // instead so a mid-iteration executor loss replays from durable
+    // storage rather than failing the job — the production setting for
+    // multi-hour CC runs over web-scale edge lists.
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+
     val init = pairs
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
 
-    var edges = init.localCheckpoint(true)
+    var edges = cut(init)
     var lastSig: (Long, Long) = (-1L, 0L)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = cut(smallStar(largeStar(edges)))
       // pmod keeps the ANSI-mode sum far from Long overflow (same
       // trick as SparkSpec.checksum): edge hashes are full-range longs.
       val sigRow = next.agg(
         count(lit(1)).cast("long"),
         coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L))).head()
       val sig = (sigRow.getLong(0), sigRow.getLong(1))
-      converged = sig == lastSig
+      // The two-scalar signature is probabilistic; a collision between
+      // distinct edge sets would silently exit with wrong cluster ids
+      // for the unconverged chains. Confirm signature equality with ONE
+      // exact set check — counts already match, and both sides are
+      // distinct, so an empty next∖prev difference proves set equality.
+      // Runs once, at the final round only.
+      converged = sig == lastSig && next.exceptAll(edges).isEmpty
       lastSig = sig
       edges = next
       it += 1

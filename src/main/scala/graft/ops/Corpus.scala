@@ -136,6 +136,24 @@ object Corpus {
     * Zero-token docs are excluded (nothing to pack) — deterministic,
     * mirrored in the oracle.
     */
+  /** The cached 3-column projection of the most recent [[packSequences]]
+    * call. The returned DataFrame references it lazily, so it cannot be
+    * unpersisted inside packSequences itself; instead each new call
+    * releases the previous one (bounding the cache to ONE projection per
+    * session regardless of how many pack queries run back-to-back), and
+    * [[releasePackCache]] lets a caller whose terminal action has run
+    * (Bench between queries, long-lived sessions) drop the last one too.
+    */
+  @volatile private var lastPackCache: Option[DataFrame] = None
+
+  /** Blocking-free release of the cached pack projection (safe if the
+    * caller's action already ran; a later re-action recomputes).
+    */
+  def releasePackCache(): Unit = synchronized {
+    lastPackCache.foreach(_.unpersist(blocking = false))
+    lastPackCache = None
+  }
+
   def packSequences(docs: DataFrame, budget: Long = PackBudget): DataFrame = {
     require(budget > 0, "budget must be positive")
     val spark = docs.sparkSession
@@ -154,6 +172,10 @@ object Corpus {
       .filter(col("n_tok") > 0)
       .withColumn("pid", expr(s"k div $width"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    synchronized {
+      lastPackCache.foreach(_.unpersist(blocking = false))
+      lastPackCache = Some(keyed)
+    }
 
     val totals = keyed.groupBy(col("pid"))
       .agg(sum(col("n_tok")).as("t"))

@@ -160,11 +160,17 @@ object Dedup {
     val sigMatches = (0 until MinhashK).map(j =>
       when(element_at(col("sig_a"), j + 1) === element_at(col("sig_b"), j + 1), 1L)
         .otherwise(0L)).reduce(_ + _)
+    // Filter BEFORE the cross-band distinct: sig_matches is a pure
+    // function of (a,b) — the signatures ride the join — so applying the
+    // >= minMatches threshold first is output-identical while shrinking
+    // the distinct's shuffle from ALL candidate pairs to just the
+    // passing ones (at web scale the threshold kills most candidates;
+    // the distinct only exists to merge pairs found by multiple bands).
     a.join(b, Seq("band_idx", "band_key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), sigMatches.as("sig_matches"))
-      .distinct()
       .filter(col("sig_matches") >= minMatches)
+      .distinct()
   }
 
   // ---------------------------------------------------------- simhash
@@ -293,15 +299,23 @@ object Dedup {
     * is rebuilt from its surviving lines. Output per doc: chunk counts
     * and the md5 of the rebuilt text (small, exactly checkable).
     *
-    * Scale shape: first-wins is one window partitioned by the line
-    * itself — exact (a 60-bit hash key alone would silently merge
-    * colliding distinct lines at web scale, and the oracle would mirror
-    * the bug), and free, because the line string must ride the shuffle
-    * anyway for the text rebuild. `row_number` is linear work per
-    * group, so a boilerplate line in 10^6 docs costs 10^6 rows, never
-    * 10^12 pairs; the rebuild is one hash aggregate with an in-group
-    * sort of the surviving lines only.
+    * Scale shape: first-wins keys on the line STRING — exact (a 60-bit
+    * hash key alone would silently merge colliding distinct lines at
+    * web scale, and the oracle would mirror the bug) — but the window
+    * is SALTED two-phase, never partitioned by the raw line: a
+    * boilerplate nav-bar line appearing in 10^8 docs would otherwise
+    * put all its occurrences into ONE window partition = one straggler
+    * task sorting 10^8 rows. Phase 1 ranks within (line, salt) —
+    * [[LineSalts]] bounded partitions, each ~1/salts of the hot line —
+    * and only per-salt winners (<= salts rows PER DISTINCT LINE,
+    * regardless of occurrence count) proceed to phase 2's global
+    * ranking on the line alone. A row is globally first iff it wins
+    * both phases; phase-1 losers are provably not global firsts, so the
+    * union of both verdicts is identical to the unsalted single-window
+    * output. No join ever shuffles on the raw line key.
     */
+  val LineSalts = 16
+
   def lineDedup(docs: DataFrame): DataFrame = {
     val w = docs
       .select(col("doc_id"), TextOps.words(col("text")).as("__w"))
@@ -312,18 +326,30 @@ object Dedup {
     val chunks = w.select(col("doc_id"),
       posexplode(graft.functions.TextGrams.tumbling(col("__w"), LineWords))
         .as(Seq("pos", "line")))
-    val keep = Window.partitionBy(col("line"))
+      // Deterministic row-derived salt (layout-independent).
+      .withColumn("__salt", pmod(xxhash64(col("doc_id"), col("pos")), lit(LineSalts)))
+    val perSalt = Window.partitionBy(col("line"), col("__salt"))
       .orderBy(col("doc_id"), col("pos"))
-    chunks
-      .withColumn("__rn", row_number().over(keep))
+    val ranked = chunks.withColumn("__rn1", row_number().over(perSalt))
+    val winners = ranked.filter(col("__rn1") === 1)
+    val global = Window.partitionBy(col("line"))
+      .orderBy(col("doc_id"), col("pos"))
+    val flagged = winners
+      .withColumn("__first", row_number().over(global) === 1)
+      .drop("__rn1")
+      .unionByName(ranked.filter(col("__rn1") > 1)
+        .withColumn("__first", lit(false))
+        .drop("__rn1"))
+    flagged
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__first"), 1L).otherwise(0L)).as("n_kept"),
         md5(array_join(transform(
-          array_sort(collect_list(when(col("__rn") === 1,
+          array_sort(collect_list(when(col("__first"),
             struct(col("pos"), col("line"))))),
           s => s.getField("line")), " ")).as("text_hash"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"), col("text_hash"))
   }
 
   def lineDedupQuery(spark: SparkSession, dir: String): DataFrame =

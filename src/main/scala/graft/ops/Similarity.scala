@@ -244,47 +244,94 @@ object Similarity {
     * to LSH, with opposite trade-offs (data-adaptive cells vs oblivious
     * hashes):
     *
-    *  1. nCentroids corpus vectors are picked deterministically (the
-    *     smallest md5-derived hash of vec_id — a seedless stand-in for
-    *     a sampled k-means job, which at 10^12 scale would train on a
-    *     sample and broadcast its centroids exactly like this 16-row
-    *     broadcast);
-    *  2. every vector joins its best centroid (one broadcast join + a
-    *     per-vector top-1 window — the "inverted list" assignment);
+    *  1. centroids are trained by [[lloydIters]] iterations of SAMPLED
+    *     Lloyd's k-means (the MLlib pattern: centroids broadcast each
+    *     round, assignment distributed over a deterministic sample,
+    *     only the C x dim per-(centroid, dim) sums collected — O(C*dim)
+    *     driver rows per round regardless of corpus size). Seeds are
+    *     the smallest-md5-hash corpus vectors (deterministic, seedless);
+    *     new centroids are elementwise truncating-division integer
+    *     means, so the whole construction stays in the exact integer
+    *     kernel and the DuckDB oracle replays it verbatim
+    *     ([[ivfTopKSql]] unrolls the same iterations as CTEs). A cell
+    *     that captures no sample vectors keeps its previous centroid.
+    *  2. every vector joins its best trained centroid (one broadcast
+    *     join + a per-vector top-1 window — the "inverted list"
+    *     assignment);
     *  3. each query probes its nProbe nearest cells; candidates are the
     *     union of those cells' lists, ranked by exact quantized cosine.
     *
     * All scoring is the integer-quantized kernel, so the DuckDB oracle
-    * reproduces the result bit-for-bit ([[ivfTopKSql]]). Recall vs
-    * brute force is additionally asserted in OpsSpec.
+    * reproduces the result bit-for-bit. Recall vs brute force (and vs
+    * the untrained hash-pick centroids, lloydIters = 0) is additionally
+    * asserted in OpsSpec. At a real corpus size nCentroids should grow
+    * with the data (rule of thumb ~sqrt(N) cells, nProbe a few % of
+    * them) — a parameter here because cell count is pipeline config.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2, sampleMod: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
     val qe = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .withColumn("nq", qdot(col("q"), col("q")))
       .filter(col("nq") > 0)
-    val cents = qe
+
+    // ---- k-means training (driver-coordinated, assignment distributed)
+    // Seed collect is O(nCentroids); per-round collect is O(C * dim).
+    val seed: Seq[(Long, Seq[Long])] = qe
       .withColumn("ch", Dedup.hash60(concat(lit("c:"), col("vec_id").cast("string"))))
       .orderBy(col("ch"), col("vec_id")).limit(nCentroids)
-      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nq").as("cnq"))
-    // Per-(vector, centroid) affinity: cos(v, c) over identical integers
-    // in both engines; nq is constant per vector so it cannot reorder.
-    val scored = qe.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("q"), col("nq"), col("cid"),
-        (qdot(col("q"), col("cq")).cast("double") /
-          sqrt(col("cnq").cast("double"))).as("affinity"))
+      .select(col("vec_id"), col("q")).as[(Long, Seq[Long])].collect().toSeq
+    var cents: Seq[(Long, Seq[Long])] = seed
+    val samp = qe.filter(col("vec_id") % sampleMod === 0)
+    for (_ <- 1 to lloydIters) {
+      val cdf = cents.toDF("cid", "cq")
+        .withColumn("cnq", qdot(col("cq"), col("cq")))
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(affinity(col("q"), col("cq"), col("cnq")).desc, col("cid").asc)
+      val assigned = samp.crossJoin(broadcast(cdf))
+        .withColumn("crank", row_number().over(aw))
+        .filter(col("crank") === 1)
+      val sums: Array[(Long, Int, Long, Long)] = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("d", "v")))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .as[(Long, Int, Long, Long)].collect()
+      val byCid = sums.groupBy(_._1)
+      cents = cents.map { case (cid, old) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val arr = old.toArray
+            // Long `/` truncates toward zero — mirrored in the oracle's
+            // sign-split `//` (DuckDB `//` floors, so the split keeps
+            // both engines on trunc semantics for negative sums).
+            rows.foreach { case (_, d, s, c) => arr(d) = s / c }
+            (cid, arr.toSeq)
+          case None => (cid, old) // empty cell keeps its previous centroid
+        }
+      }
+    }
+
+    // ---- IVF over the trained centroids
+    val cdf = cents.toDF("cid", "cq")
+      .withColumn("cnq", qdot(col("cq"), col("cq")))
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("affinity").desc, col("cid").asc)
-    val ranked = scored.withColumn("crank", row_number().over(w))
+      .orderBy(affinity(col("q"), col("cq"), col("cnq")).desc, col("cid").asc)
+    val ranked = qe.crossJoin(broadcast(cdf))
+      .withColumn("crank", row_number().over(w))
+      .select(col("vec_id"), col("q"), col("nq"), col("cid"), col("crank"))
     val assigned = ranked.filter(col("crank") === 1) // inverted lists
       .select(col("cid"), col("vec_id"), col("q"), col("nq"))
     val probes = ranked.filter(col("vec_id") < nQueries && col("crank") <= nProbe)
-      .select(col("cid"), col("vec_id").as("query_id"),
-        col("q").as("qq"), col("nq").as("nqq"))
+      .select(col("cid"), col("vec_id").as("query_id"))
+    val queries = qe.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("nq").as("nqq"))
     val candidates = assigned.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
+      .join(broadcast(queries), Seq("query_id"))
     val rescored = candidates.select(col("query_id"), col("vec_id").as("neighbor_id"),
       qsim(qdot(col("qq"), col("q")), col("nqq"), col("nq")).as("sim"))
     val rw = Window.partitionBy(col("query_id"))
@@ -294,40 +341,89 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
   }
 
+  /** Vector-to-centroid affinity: cos-proportional dot/sqrt(|c|^2)
+    * (the per-vector norm is constant within a ranking so it cannot
+    * reorder); a degenerate zero centroid (integer mean collapse) sorts
+    * last deterministically instead of producing NaN.
+    */
+  private def affinity(q: Column, cq: Column, cnq: Column): Column =
+    when(cnq > 0, qdot(q, cq).cast("double") / sqrt(cnq.cast("double")))
+      .otherwise(lit(-1e300))
+
+  /** Affinity SQL mirror of [[affinity]]. */
+  private def affinitySql(q: String, cq: String, cnq: String): String =
+    s"CASE WHEN $cnq > 0 THEN CAST(${dotSql(q, cq)} AS DOUBLE) / sqrt(CAST($cnq AS DOUBLE)) ELSE -1e300 END"
+
+  /** Oracle mirror of [[ivfTopK]]: the same lloydIters Lloyd rounds
+    * unrolled as CTE chains (assign -> per-dim sums via zipped unnest ->
+    * trunc-division integer means -> coalesce empty cells), then the
+    * identical IVF probe/re-rank.
+    */
   def ivfTopKSql(nQueries: Int = 5, k: Int = 10,
-      nCentroids: Int = 16, nProbe: Int = 4): String =
-    s"""WITH qe AS (
-       |  SELECT vec_id, $quantizeSql AS q FROM embeddings
-       |), qn AS (
-       |  SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM qe
-       |), qnn AS (SELECT * FROM qn WHERE nq > 0
-       |), cents AS (
-       |  SELECT vec_id AS cid, q AS cq, nq AS cnq FROM qnn
-       |  ORDER BY ('0x' || substr(md5('c:' || vec_id::VARCHAR),1,15))::BIGINT, vec_id
-       |  LIMIT $nCentroids
-       |), ranked AS (
-       |  SELECT v.vec_id, c.cid,
-       |         row_number() OVER (PARTITION BY v.vec_id
-       |           ORDER BY CAST(${dotSql("v.q", "c.cq")} AS DOUBLE) / sqrt(CAST(c.cnq AS DOUBLE)) DESC,
-       |                    c.cid ASC) AS crank
-       |  FROM qnn v CROSS JOIN cents c
-       |), assigned AS (
-       |  SELECT cid, vec_id FROM ranked WHERE crank = 1
-       |), probes AS (
-       |  SELECT cid, vec_id AS query_id FROM ranked
-       |  WHERE vec_id < $nQueries AND crank <= $nProbe
-       |), cand AS (
-       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
-       |  FROM assigned a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id
-       |), scored AS (
-       |  SELECT c.query_id, c.neighbor_id,
-       |         CAST(${dotSql("a.q", "b.q")} AS DOUBLE) / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS sim
-       |  FROM cand c JOIN qnn a ON a.vec_id = c.query_id JOIN qnn b ON b.vec_id = c.neighbor_id
-       |)
-       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
-       |  SELECT query_id, neighbor_id,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-       |  FROM scored) WHERE rank <= $k""".stripMargin
+      nCentroids: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2, sampleMod: Int = 4): String = {
+    val base =
+      s"""WITH qe AS (
+         |  SELECT vec_id, $quantizeSql AS q FROM embeddings
+         |), qn AS (
+         |  SELECT vec_id, q, ${dotSql("q", "q")} AS nq FROM qe
+         |), qnn AS (SELECT * FROM qn WHERE nq > 0
+         |), samp AS (SELECT * FROM qnn WHERE vec_id % $sampleMod = 0
+         |), cents0 AS (
+         |  SELECT vec_id AS cid, q AS cq FROM qnn
+         |  ORDER BY ('0x' || substr(md5('c:' || vec_id::VARCHAR),1,15))::BIGINT, vec_id
+         |  LIMIT $nCentroids
+         |)""".stripMargin
+    val rounds = (1 to lloydIters).map { r =>
+      val prev = s"cents${r - 1}"
+      s""", cn$r AS (
+         |  SELECT cid, cq, ${dotSql("cq", "cq")} AS cnq FROM $prev
+         |), asg$r AS (
+         |  SELECT cid, q FROM (
+         |    SELECT c.cid, s.q,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY ${affinitySql("s.q", "c.cq", "c.cnq")} DESC, c.cid ASC) AS crank
+         |    FROM samp s CROSS JOIN cn$r c) WHERE crank = 1
+         |), sums$r AS (
+         |  SELECT cid, d, CAST(sum(v) AS BIGINT) AS s, count(*) AS c FROM (
+         |    SELECT cid, unnest(q) AS v, unnest(range(0, len(q))) AS d FROM asg$r)
+         |  GROUP BY 1, 2
+         |), newc$r AS (
+         |  SELECT cid, list(CAST(CASE WHEN s >= 0 THEN s // c ELSE -((-s) // c) END AS BIGINT) ORDER BY d) AS cq
+         |  FROM sums$r GROUP BY cid
+         |), cents$r AS (
+         |  SELECT p.cid, coalesce(n.cq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN newc$r n ON p.cid = n.cid
+         |)""".stripMargin
+    }.mkString
+    val fin = s"cents$lloydIters"
+    base + rounds +
+      s""", cents AS (
+         |  SELECT cid, cq, ${dotSql("cq", "cq")} AS cnq FROM $fin
+         |), ranked AS (
+         |  SELECT v.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY v.vec_id
+         |           ORDER BY ${affinitySql("v.q", "c.cq", "c.cnq")} DESC,
+         |                    c.cid ASC) AS crank
+         |  FROM qnn v CROSS JOIN cents c
+         |), assigned AS (
+         |  SELECT cid, vec_id FROM ranked WHERE crank = 1
+         |), probes AS (
+         |  SELECT cid, vec_id AS query_id FROM ranked
+         |  WHERE vec_id < $nQueries AND crank <= $nProbe
+         |), cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |  FROM assigned a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.query_id
+         |), scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         CAST(${dotSql("a.q", "b.q")} AS DOUBLE) / sqrt(CAST(a.nq * b.nq AS DOUBLE)) AS sim
+         |  FROM cand c JOIN qnn a ON a.vec_id = c.query_id JOIN qnn b ON b.vec_id = c.neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+         |  FROM scored) WHERE rank <= $k""".stripMargin
+  }
 
   // ------------------------------------------------- embedding dedup
 

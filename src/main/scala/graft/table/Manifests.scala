@@ -1,6 +1,5 @@
 package graft.table
 
-import java.nio.file.{Files, Paths}
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -44,12 +43,22 @@ object Manifests {
       |  optional binary maxSource (STRING);
       |}""".stripMargin)
 
-  /** Write `rows` as one parquet file under `absDir` (created). */
-  def writeLocal(absDir: String, rows: Seq[DataFile]): Unit = {
-    Files.createDirectories(Paths.get(absDir))
+  /** Write `rows` as one parquet file under `absDir` (created).
+    *
+    * Paths resolve through Hadoop's `FileSystem` API obtained from the
+    * directory URI (not `java.nio`), so a table whose location moves off
+    * local disk (HDFS/object store on a real cluster) keeps working —
+    * callers pass the session's Hadoop conf so configured filesystems
+    * and credentials are honored.
+    */
+  def writeLocal(absDir: String, rows: Seq[DataFile],
+      conf: Configuration = new Configuration()): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(absDir)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
     val file = new org.apache.hadoop.fs.Path(s"$absDir/part-00000.parquet")
     val writer = ExampleParquetWriter
-      .builder(HadoopOutputFile.fromPath(file, new Configuration()))
+      .builder(HadoopOutputFile.fromPath(file, conf))
       .withType(Schema)
       .withCompressionCodec(CompressionCodecName.ZSTD)
       .build()

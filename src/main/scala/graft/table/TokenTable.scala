@@ -225,7 +225,8 @@ class TokenTable(val location: String, val spark: SparkSession) {
     */
   def writeManifest(rows: Seq[DataFile]): String = {
     val rel = s"${Format.Metadata}/manifest-${java.util.UUID.randomUUID()}"
-    Manifests.writeLocal(s"$location/$rel", rows)
+    Manifests.writeLocal(s"$location/$rel", rows,
+      spark.sessionState.newHadoopConf())
     rel
   }
 

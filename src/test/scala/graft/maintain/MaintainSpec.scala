@@ -108,10 +108,11 @@ class MaintainSpec extends SparkSpec {
   test("exchangeByPid places every row in exactly the partition its pid names") {
     import spark.implicits._
     for (n <- Seq(1, 7, 64)) {
-      val df = spark.range(2000, 2).toDF("id")
+      val df = spark.range(0, 2000, 2).toDF("id")
         .withColumn("pid", pmod(xxhash64($"id"), lit(n)).cast("int"))
       val placed = Cluster.exchangeByPid(df, $"pid", n)
         .withColumn("actual", spark_partition_id())
+      assert(placed.count() == 1000, s"n=$n: placement check must see real rows")
       assert(placed.filter($"actual" =!= $"pid").count() == 0, s"n=$n misplacement")
       assert(placed.rdd.getNumPartitions == n)
     }

@@ -46,6 +46,7 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty).isEmpty)
   }
 
+
   test("unconverged run fails loudly instead of returning wrong labels") {
     val chain = (0L until 40L).map(i => (i, i + 1))
     assertThrows[IllegalStateException] {
@@ -96,5 +97,24 @@ class ComponentsSpec extends SparkSpec {
     // equal to the member count of that cluster.
     val sizes = out.groupBy(_._2).map { case (c, rs) => c -> rs.length }
     assert(out.forall(r => sizes(r._2) == r._3))
+  }
+
+  test("reliable-checkpoint path (configured checkpoint dir) produces identical labels") {
+    // With a checkpoint dir set, each round cuts lineage through durable
+    // storage (executor-loss tolerant) instead of localCheckpoint's
+    // block-storage — the production setting for long CC runs.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val labels = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // The checkpointed round state actually landed in the durable dir.
+    import scala.jdk.CollectionConverters._
+    val entries = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(java.nio.file.Files.isRegularFile(_))
+    assert(entries > 0, "reliable checkpoint wrote nothing")
+    // NOTE: SparkContext has no public un-set for the checkpoint dir;
+    // later CC runs in this JVM simply keep using the reliable path
+    // (also correct — the localCheckpoint path is covered by every test
+    // that ran before this one).
   }
 }

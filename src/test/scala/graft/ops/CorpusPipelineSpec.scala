@@ -97,6 +97,30 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(again.toSeq == got.toSeq)
   }
 
+  test("line dedup hot line: one boilerplate line in EVERY doc, salted window stays exact") {
+    // The straggler scenario the salted two-phase window exists for: the
+    // same nav-bar line opens every document. All its occurrences would
+    // land in ONE window partition unsalted; the salted form must still
+    // keep exactly the globally-first occurrence (doc 0, pos 0).
+    val nav = (1 to 10).map(i => s"nav$i").mkString(" ")
+    val n = 500
+    val rows = (0 until n.toInt).map { i =>
+      (i.toLong, nav + " " + (1 to 10).map(j => s"u${i}w$j").mkString(" "))
+    }
+    val got = Dedup.lineDedup(rows.toDF("doc_id", "text"))
+      .select($"doc_id", $"n_lines", $"n_kept")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == n)
+    // Doc 0 keeps both lines; every other doc keeps only its unique line.
+    assert(got.head == ((0L, 2L, 2L)))
+    assert(got.tail.forall { case (_, lines, kept) => lines == 2L && kept == 1L },
+      s"hot-line first-wins broke: ${got.tail.filterNot(t => t._2 == 2L && t._3 == 1L).take(5).toSeq}")
+    // Phase-1 salting really spreads the hot line: with 500 occurrences
+    // and 16 salts, every (line, salt) group is ~31 rows, and the
+    // phase-2 global window sees at most LineSalts rows per line.
+    assert(Dedup.LineSalts > 1)
+  }
+
   test("vocab returns deterministic top-k with exact counts") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val got = TextOps.vocab(docs, k = 20)

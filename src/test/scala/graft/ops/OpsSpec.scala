@@ -71,6 +71,21 @@ class OpsSpec extends SparkSpec {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("Lloyd-trained IVF centroids do not lose recall vs the hash-pick seeds") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 5, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(iters: Int): Double = {
+      val approx = Similarity.ivfTopK(emb, nQueries = 5, k = 10, lloydIters = iters)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val untrained = recallAt(0) // iters=0 == the pure hash-pick construction
+    val trained = recallAt(2)
+    assert(trained >= untrained,
+      s"k-means centroids lost recall: trained=$trained < hash-pick=$untrained")
+  }
+
   test("multimodal: frame sampling and resize preserve byte-level invariants") {
     val media = Multimodal.mediaTable(spark, dir)
     val frames = Multimodal.sampleFrames(media, frameSize = 32, stride = 2).collect()
