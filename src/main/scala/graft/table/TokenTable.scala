@@ -1,10 +1,8 @@
 package graft.table
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
-import scala.jdk.CollectionConverters._
 
 /** A TokenTable: Iceberg-style snapshot/manifest table of pre-tokenized
   * training sequences (BASELINE.json input_hint):
@@ -124,95 +122,68 @@ class TokenTable(val location: String, val spark: SparkSession) {
     statsFor(relDir)
   }
 
+  /** Files-per-commit threshold above which stats collection runs as a
+    * Spark job instead of the driver pool. Below it, job-scheduling
+    * latency dominates the work; above it, driver-side IO becomes the
+    * bottleneck (a 10^6-file commit must not funnel through 16 driver
+    * threads).
+    */
+  val StatsDistributeThreshold = 256
+
   /** Manifest rows (with stats) for every parquet file under a
     * table-relative data directory.
     *
-    * min/max/rows come straight from the parquet FOOTERS (the writer
-    * already computed them — re-scanning data for stats would read the
-    * table twice, which at 100TB is the difference between a metadata
-    * operation and a second full pass). Only sum(n_tok) needs real data,
-    * and that scan reads exactly one int32 column. Footer reads are
-    * parallelized on a small driver pool; for 10^6-file commits this
-    * would be distributed over `spark.range(files)` instead.
+    * Per file this is ONE open ([[FileStats.statsForFile]]): min/max/
+    * rows straight from the footer (the writer already computed them —
+    * re-scanning data for stats would read the table twice, which at
+    * 100TB is the difference between a metadata operation and a second
+    * full pass) plus sum(n_tok) drained off that column's pages through
+    * the same stream. No Spark job is scheduled for ordinary commits —
+    * the old per-commit sum(n_tok) aggregation job cost a fixed ~0.3 s
+    * of scheduling, a serial floor that capped ingest's N->4N scaling —
+    * while file sets above [[StatsDistributeThreshold]] run the same
+    * per-file routine distributed via `mapPartitions` over the path
+    * list.
     */
   def statsFor(relDir: String): Seq[DataFile] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
     val abs = s"$location/$relDir"
-    val paths = Files.walk(Paths.get(abs)).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(_.toAbsolutePath).toSeq
-    if (paths.isEmpty) return Nil
     val conf = spark.sessionState.newHadoopConf()
-    val root = Paths.get(location).toAbsolutePath.toString
+    val paths = FileStats.listParquet(abs, conf)
+    if (paths.isEmpty) return Nil
+    val root = new org.apache.hadoop.fs.Path(location).toUri.getPath
 
-    // sum(n_tok) per file: one int-column scan (vectorized, no strings).
-    val sums: Map[String, Long] = spark.read.parquet(abs)
-      .select($"n_tok")
-      .groupBy(input_file_name().as("uri"))
-      .agg(sum($"n_tok").as("s"))
-      .collect()
-      .map(r => new java.net.URI(r.getAs[String]("uri")).getPath ->
-        r.getAs[Long]("s"))
-      .toMap
-
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, paths.size))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = paths.map { p =>
-      scala.concurrent.Future {
-        val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(p.toString), conf))
-        try {
-          val blocks = reader.getFooter.getBlocks
-          var rows = 0L
-          var minDoc: String = null; var maxDoc: String = null
-          var minSrc: String = null; var maxSrc: String = null
-          var minN = Int.MaxValue; var maxN = Int.MinValue
-          def utf8(v: Any): String = v match {
-            case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
-            case x => String.valueOf(x)
-          }
-          blocks.forEach { b =>
-            rows += b.getRowCount
-            b.getColumns.forEach { c =>
-              val st = c.getStatistics
-              c.getPath.toDotString match {
-                case "doc_id" if st != null && st.hasNonNullValue =>
-                  val lo = utf8(st.genericGetMin); val hi = utf8(st.genericGetMax)
-                  if (minDoc == null || lo < minDoc) minDoc = lo
-                  if (maxDoc == null || hi > maxDoc) maxDoc = hi
-                case "source" if st != null && st.hasNonNullValue =>
-                  val lo = utf8(st.genericGetMin); val hi = utf8(st.genericGetMax)
-                  if (minSrc == null || lo < minSrc) minSrc = lo
-                  if (maxSrc == null || hi > maxSrc) maxSrc = hi
-                case "n_tok" if st != null && st.hasNonNullValue =>
-                  val lo = st.genericGetMin.asInstanceOf[Number].intValue
-                  val hi = st.genericGetMax.asInstanceOf[Number].intValue
-                  if (lo < minN) minN = lo
-                  if (hi > maxN) maxN = hi
-                case _ =>
-              }
-            }
-          }
-          if (rows == 0L) None // empty partitions produce empty files
-          else Some(DataFile(
-            path = p.toString.stripPrefix(root).stripPrefix("/"),
-            bytes = Files.size(p),
-            rows = rows,
-            minDocId = minDoc, maxDocId = maxDoc,
-            minNtok = minN, maxNtok = maxN,
-            sumNtok = sums.getOrElse(p.toString, 0L),
-            minSource = minSrc, maxSource = maxSrc))
-        } finally reader.close()
+    if (paths.size <= StatsDistributeThreshold) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, paths.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = paths.map { p =>
+        scala.concurrent.Future(FileStats.statsForFile(p, root, conf))
       }
+      try {
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf).flatten
+      } finally pool.shutdown()
+    } else {
+      // Hadoop Configuration is not serializable; ship its entries and
+      // rebuild once per partition.
+      val confEntries: Seq[(String, String)] = {
+        val b = Seq.newBuilder[(String, String)]
+        conf.iterator().forEachRemaining(e => b += (e.getKey -> e.getValue))
+        b.result()
+      }
+      val slices = math.min(paths.size,
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.createDataset(paths)
+        .repartition(slices)
+        .mapPartitions { it =>
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          confEntries.foreach { case (k, v) => c.set(k, v) }
+          it.flatMap(p => FileStats.statsForFile(p, root, c))
+        }
+        .collect().toSeq
     }
-    try {
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futures),
-        scala.concurrent.duration.Duration.Inf).flatten
-    } finally pool.shutdown()
   }
 
   /** Persist manifest rows as an immutable manifest parquet; returns its

@@ -129,4 +129,33 @@ class TableSpec extends SparkSpec {
         keepManifests = Nil, removedPaths = paths)
     }
   }
+
+  test("statsFor: distributed path (many files) agrees with the pooled path") {
+    import org.apache.spark.sql.functions._
+    val loc = tmpDir("stats_dist")
+    val t = TokenTable.create(spark, loc)
+    // One commit with more output files than StatsDistributeThreshold so
+    // statsFor runs as a mapPartitions Spark job over the path list.
+    val nParts = t.StatsDistributeThreshold + 16
+    val rows = TokenGen.asTokenRows(TokenGen.generate(
+      spark, 2000, idOffset = 0, minLen = 16, maxLen = 32, numPartitions = 4))
+      .repartition(nParts)
+    val snap = t.append(rows)
+    val files = t.filesLocal(snap)
+    // Some partitions may be empty (2000 rows over 272 partitions are
+    // hash-spread, so near-all get rows); every non-empty one must be
+    // statted, and totals must match the data exactly.
+    assert(files.size > t.StatsDistributeThreshold / 2)
+    val expect = rows.agg(
+      count(lit(1)), sum(col("n_tok").cast("long")),
+      min(col("doc_id")), max(col("doc_id"))).head()
+    assert(files.map(_.rows).sum == expect.getLong(0))
+    assert(files.map(_.sumNtok).sum == expect.getLong(1))
+    assert(files.map(_.minDocId).min == expect.getString(2))
+    assert(files.map(_.maxDocId).max == expect.getString(3))
+    assert(files.forall(f => f.bytes > 0 && f.minNtok >= 16 && f.maxNtok <= 32))
+    // Scan-back equality: the manifest the distributed path built drives
+    // a correct scan.
+    assert(checksum(t.scan()) == checksum(rows.select("doc_id", "tokens", "n_tok", "source")))
+  }
 }
