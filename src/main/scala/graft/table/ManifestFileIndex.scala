@@ -1,0 +1,148 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst [[FileIndex]] backed by the snapshot's MANIFESTS — the
+  * missing piece that makes the table format first-class inside Spark's
+  * planner, replacing `spark.read.parquet(path1..pathN)` scans:
+  *
+  *  - ZERO filesystem listing per scan: file paths AND sizes come from
+  *    manifest rows (the commit already recorded them), so planning a
+  *    scan costs one streamed manifest read instead of a `getFileStatus`
+  *    round-trip per data file — at 10^6 files that is the difference
+  *    between a metadata read and 10^6 RPCs per action;
+  *  - data-filter pruning inside the planner: `scan().filter($"doc_id"
+  *    === x)` skips every file whose manifest [min,max] excludes x
+  *    BEFORE any split is planned — clustering (M2) exists precisely to
+  *    make these prunes selective, and with this index they fire for
+  *    plain DataFrame/SQL filters, not just the scanPruned API;
+  *  - streamed, filter-first materialization: manifest rows stream one
+  *    at a time ([[Manifests.readLocal]]) with the translated predicate
+  *    applied on the fly, so a selective scan materializes only the
+  *    SURVIVING files' statuses on the driver. (An unfiltered scan still
+  *    holds one compact status per file — Spark's scheduler needs the
+  *    split list; that is the same O(#files) floor Iceberg's driver
+  *    planning has.)
+  *
+  * Filter translation is CONSERVATIVE: supported shapes (comparisons,
+  * equality, StartsWith, In, And/Or on doc_id / n_tok / source vs
+  * literals) prune; anything else keeps the file. String order is
+  * UTF8String binary order — Spark's comparison semantics — NOT Java
+  * String order (they differ for supplementary characters).
+  */
+class ManifestFileIndex(
+    spark: SparkSession,
+    location: String,
+    snapshot: Snapshot) extends FileIndex {
+
+  private val hadoopConf = spark.sessionState.newHadoopConf()
+
+  override def rootPaths: Seq[Path] = Seq(new Path(location))
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def refresh(): Unit = ()
+
+  private def streamFiles(): Iterator[DataFile] =
+    snapshot.manifests.iterator.flatMap(m =>
+      Manifests.readLocal(s"$location/$m", hadoopConf))
+
+  private def status(f: DataFile): FileStatusWithMetadata =
+    FileStatusWithMetadata(new FileStatus(
+      f.bytes, false, 1, f.bytes.max(1L), snapshot.timestampMs,
+      new Path(s"$location/${f.path}")))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val preds = dataFilters // partitionFilters are empty: unpartitioned relation
+    val kept = streamFiles()
+      .filter(f => preds.forall(p => mightMatch(p, f)))
+      .map(status)
+      .toArray
+    Seq(PartitionDirectory(InternalRow.empty, kept.toSeq))
+  }
+
+  override def inputFiles: Array[String] =
+    streamFiles().map(f => s"$location/${f.path}").toArray
+
+  override lazy val sizeInBytes: Long = streamFiles().map(_.bytes).sum
+
+  // ------------------------------------------------- predicate pruning
+
+  /** True iff the file's [min,max] stats CANNOT rule out the predicate.
+    * Must never return false for a file containing a matching row; may
+    * return true for one that doesn't (a false positive reads an extra
+    * file). Unknown predicate shapes — including Not, whose operand's
+    * conservative answer cannot be negated — keep the file.
+    */
+  private def mightMatch(e: Expression, f: DataFile): Boolean = e match {
+    case And(l, r) => mightMatch(l, f) && mightMatch(r, f)
+    case Or(l, r) => mightMatch(l, f) || mightMatch(r, f)
+    case EqualTo(a: AttributeReference, Literal(v, _)) => rangeContains(a.name, f, v, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) => rangeContains(a.name, f, v, v)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => rangeAbove(a.name, f, v, strict = true)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => rangeAbove(a.name, f, v, strict = false)
+    case LessThan(a: AttributeReference, Literal(v, _)) => rangeBelow(a.name, f, v, strict = true)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => rangeBelow(a.name, f, v, strict = false)
+    case GreaterThan(Literal(v, _), a: AttributeReference) => rangeBelow(a.name, f, v, strict = true)
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => rangeBelow(a.name, f, v, strict = false)
+    case LessThan(Literal(v, _), a: AttributeReference) => rangeAbove(a.name, f, v, strict = true)
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => rangeAbove(a.name, f, v, strict = false)
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists { case Literal(v, _) => rangeContains(a.name, f, v, v) }
+    case StartsWith(a: AttributeReference, Literal(p: UTF8String, _)) =>
+      // doc_id LIKE 'prefix%': overlaps iff max >= prefix and
+      // min's first |prefix| bytes are <= prefix.
+      stringRange(a.name, f) match {
+        case Some((lo, hi)) =>
+          hi.compareTo(p) >= 0 && truncate(lo, p.numBytes).compareTo(p) <= 0
+        case None => true
+      }
+    case IsNotNull(_) => true // token schema is non-null throughout
+    case _ => true
+  }
+
+  private def truncate(s: UTF8String, n: Int): UTF8String =
+    if (s.numBytes <= n) s else UTF8String.fromBytes(s.getBytes.take(n))
+
+  private def stringRange(col: String, f: DataFile): Option[(UTF8String, UTF8String)] = {
+    val (lo, hi) = col match {
+      case "doc_id" => (f.minDocId, f.maxDocId)
+      case "source" => (f.minSource, f.maxSource)
+      case _ => (null, null)
+    }
+    if (lo == null || hi == null) None
+    else Some((UTF8String.fromString(lo), UTF8String.fromString(hi)))
+  }
+
+  private def rangeContains(col: String, f: DataFile, lo: Any, hi: Any): Boolean =
+    rangeAbove(col, f, lo, strict = false) && rangeBelow(col, f, hi, strict = false)
+
+  /** Might the file hold a value > v (strict) / >= v? */
+  private def rangeAbove(col: String, f: DataFile, v: Any, strict: Boolean): Boolean =
+    v match {
+      case u: UTF8String => stringRange(col, f).forall { case (_, hi) =>
+        if (strict) hi.compareTo(u) > 0 else hi.compareTo(u) >= 0
+      }
+      case n: Number if col == "n_tok" =>
+        if (strict) f.maxNtok > n.longValue else f.maxNtok >= n.longValue
+      case _ => true
+    }
+
+  /** Might the file hold a value < v (strict) / <= v? */
+  private def rangeBelow(col: String, f: DataFile, v: Any, strict: Boolean): Boolean =
+    v match {
+      case u: UTF8String => stringRange(col, f).forall { case (lo, _) =>
+        if (strict) lo.compareTo(u) < 0 else lo.compareTo(u) <= 0
+      }
+      case n: Number if col == "n_tok" =>
+        if (strict) f.minNtok < n.longValue else f.minNtok <= n.longValue
+      case _ => true
+    }
+}

@@ -1,8 +1,10 @@
 package graft.table
 
 import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
-import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.hadoop.util.HadoopOutputFile
 import org.apache.parquet.schema.MessageTypeParser
@@ -77,5 +79,52 @@ object Manifests {
       if (f.maxSource != null) g.append("maxSource", f.maxSource)
       writer.write(g)
     } finally writer.close()
+  }
+
+  /** STREAM manifest rows from a manifest directory (driver- or
+    * Spark-written parts) without a Spark job and without materializing
+    * the row set: one row at a time off the parquet pages, so a caller
+    * applying a filter (the [[ManifestFileIndex]] prune) holds only the
+    * survivors. Rows stream in deterministic part-file order; each part
+    * reader closes at exhaustion.
+    */
+  def readLocal(absDir: String, conf: Configuration): Iterator[DataFile] = {
+    val dir = new org.apache.hadoop.fs.Path(absDir)
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) return Iterator.empty
+    val parts = fs.listStatus(dir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    parts.iterator.flatMap { st =>
+      new Iterator[DataFile] {
+        private val reader =
+          ParquetReader.builder(new GroupReadSupport(), st.getPath)
+            .withConf(conf).build()
+        private var nextGroup: Group = advance()
+        private def advance(): Group = {
+          val g = reader.read()
+          if (g == null) reader.close()
+          g
+        }
+        override def hasNext: Boolean = nextGroup != null
+        override def next(): DataFile = {
+          val g = nextGroup
+          nextGroup = advance()
+          def optStr(f: String): String =
+            if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+              g.getString(f, 0)
+            else null
+          DataFile(
+            path = optStr("path"),
+            bytes = g.getLong("bytes", 0),
+            rows = g.getLong("rows", 0),
+            minDocId = optStr("minDocId"), maxDocId = optStr("maxDocId"),
+            minNtok = g.getInteger("minNtok", 0),
+            maxNtok = g.getInteger("maxNtok", 0),
+            sumNtok = g.getLong("sumNtok", 0),
+            minSource = optStr("minSource"), maxSource = optStr("maxSource"))
+        }
+      }
+    }
   }
 }

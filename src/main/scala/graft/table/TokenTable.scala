@@ -52,13 +52,25 @@ class TokenTable(val location: String, val spark: SparkSession) {
     */
   def registerView(name: String): Unit = scan().createOrReplaceTempView(name)
 
+  /** Manifest-streamed scan: a [[ManifestFileIndex]]-backed relation —
+    * no filesystem listing, no driver path collect; file statuses come
+    * from manifest rows and data filters prune files inside the planner
+    * (see the index's scaladoc). This is the path every read-side query
+    * takes, including time travel (any snapshot).
+    */
   def scan(s: Snapshot): DataFrame = {
-    val paths = filesLocal(s).map(f => s"$location/${f.path}")
-    if (paths.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
-    else spark.read
-      .schema(DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
-      .parquet(paths: _*)
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val dataSchema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val relation = HadoopFsRelation(
+      location = new ManifestFileIndex(spark, location, s),
+      partitionSchema = new StructType(),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(classicSpark)
+    classicSpark.baseRelationToDataFrame(relation)
   }
 
   /** Pruned scan: only data files whose manifest [min,max] stats can
