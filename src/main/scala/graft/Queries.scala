@@ -138,6 +138,45 @@ object Queries {
       |UNION ALL SELECT * FROM updates
       |UNION ALL SELECT * FROM inserts""".stripMargin
 
+  /** M6 via NATIVE SQL TEXT: the same updates/inserts as
+    * [[m6MergeScan]], but executed through
+    * `MERGE INTO graft.\`path\` ... WHEN MATCHED THEN UPDATE SET * WHEN
+    * NOT MATCHED THEN INSERT *` — parsed by Spark's SQL parser,
+    * compiled by [[graft.plans.TokenTableResolution]] into
+    * [[graft.plans.GraftMergeCommand]], executed by Merge.mergeInto.
+    * The driver session has no graft extensions injected, so the rule
+    * is applied to the parsed plan explicitly here; a session created
+    * with `spark.sql.extensions=graft.GraftExtensions` gets the same
+    * conversion on plain `spark.sql(...)`
+    * (TokenTableResolutionSpec covers that wiring).
+    */
+  def m6MergeSqlScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(spark, dir, "m6sql", commits = 4)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val updates = docs.filter(col("doc_id") % 7 === 0).select(
+      format_string("doc_%012d", col("doc_id")).as("doc_id"),
+      array(pmod(col("n_chars"), lit(50)).cast("int"), lit(1), lit(2)).as("tokens"),
+      lit(3).as("n_tok"),
+      col("source"))
+    val inserts = tokenizedDocs(spark, dir)
+      .filter(expr("CAST(substring(doc_id, 5) AS BIGINT) % 13 = 0"))
+      .withColumn("doc_id",
+        format_string("doc_%012d", expr("CAST(substring(doc_id, 5) AS BIGINT) + 1000000")))
+    updates.unionByName(inserts).createOrReplaceTempView("graft_m6_sql_src")
+    val sql =
+      s"""MERGE INTO graft.`${t.location}` AS t
+         |USING graft_m6_sql_src AS s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val vBefore = t.currentVersion
+    org.apache.spark.sql.GraftSqlBridge
+      .ofRows(spark, plans.TokenTableResolution(spark)(parsed)).collect()
+    require(t.currentVersion > vBefore, "SQL MERGE must commit a snapshot")
+    scanProjection(t.scan())
+  }
+
   def m2DocIdClusterScan(spark: SparkSession, dir: String): DataFrame = {
     val t = buildTable(spark, dir, "m2d", commits = 6)
     Cluster.run(t, Cluster.ByDocId, "q-m2d", targetBytes = 64L * 1024)

@@ -23,6 +23,7 @@ object SparkEntry {
     "m2_zorder_scan" -> ((s, d) => Queries.m2ZorderScan(s, d)),
     "m2_hilbert_scan" -> ((s, d) => Queries.m2HilbertScan(s, d)),
     "m6_merge_scan" -> ((s, d) => Queries.m6MergeScan(s, d)),
+    "m6_merge_sql_scan" -> ((s, d) => Queries.m6MergeSqlScan(s, d)),
     "m4_expire_scan" -> ((s, d) => Queries.m4ExpireScan(s, d)),
     "m5_timetravel_scan" -> ((s, d) => Queries.m5TimeTravelScan(s, d)),
     "m2_docid_cluster_scan" -> ((s, d) => Queries.m2DocIdClusterScan(s, d)),
@@ -71,6 +72,7 @@ object SparkEntry {
     "m2_zorder_scan" -> Queries.tokenizedDocsSql,
     "m2_hilbert_scan" -> Queries.tokenizedDocsSql,
     "m6_merge_scan" -> Queries.m6MergeSql,
+    "m6_merge_sql_scan" -> Queries.m6MergeSql, // same post-merge state via SQL text
     "m4_expire_scan" -> Queries.tokenizedDocsSql,
     "m5_timetravel_scan" -> Queries.tokenizedDocsSql,
     "m2_docid_cluster_scan" -> Queries.tokenizedDocsSql,

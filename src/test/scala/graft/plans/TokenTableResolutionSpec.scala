@@ -43,6 +43,59 @@ class TokenTableResolutionSpec extends SparkSpec {
     assert(added == 60)
   }
 
+  test("MERGE INTO graft.`path` SQL text executes the dedup-upsert end-to-end") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("res_merge")
+    val t = TokenTable.create(spark, dir)
+    t.append(TokenGen.asTokenRows(TokenGen.generate(spark, 200, numPartitions = 2)))
+    val before = t.scan().count()
+    // 10 updates (existing ids, new tokens) + 5 inserts (fresh ids).
+    val upd = t.scan().filter(pmod(xxhash64($"doc_id"), lit(20)) === 0)
+      .select($"doc_id", array(lit(7), lit(7)).as("tokens"), lit(2).as("n_tok"),
+        lit("merged").as("source"))
+    val ins = (0 until 5).map(i => (f"zzz_new_$i%04d", Seq(1, 2, 3), 3, "merged"))
+      .toDF("doc_id", "tokens", "n_tok", "source")
+    upd.unionByName(ins).createOrReplaceTempView("res_merge_src")
+    val nUpd = upd.count()
+    val out = sql(
+      s"""MERGE INTO graft.`$dir` AS t USING res_merge_src AS s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).head()
+    assert(out.getLong(3) == nUpd + 5, "source_rows")
+    val after = t.scan()
+    assert(after.count() == before + 5)
+    assert(after.filter($"source" === "merged").count() == nUpd + 5)
+    // Updated rows really replaced: every matched id now has tokens [7,7].
+    assert(after.filter($"source" === "merged" && $"n_tok" === 2).count() == nUpd)
+  }
+
+  test("unsupported MERGE shapes fail loudly") {
+    val dir = tmpDir("res_merge_bad")
+    val t = TokenTable.create(spark, dir)
+    t.append(TokenGen.asTokenRows(TokenGen.generate(spark, 10, numPartitions = 1)))
+    spark.range(1).selectExpr("'x' AS doc_id", "array(1) AS tokens",
+      "1 AS n_tok", "'s' AS source").createOrReplaceTempView("res_merge_bad_src")
+    // The error must be OUR taxonomy (naming the supported form), not
+    // Spark's generic unsupported-DDL fallback for unconverted merges.
+    def failsWithSupportedForm(q: String): Unit = {
+      val e = intercept[UnsupportedOperationException](sql(q))
+      assert(e.getMessage.contains("supported form"), e.getMessage)
+    }
+    // DELETE clause: not the engine's upsert.
+    failsWithSupportedForm(
+      s"""MERGE INTO graft.`$dir` t USING res_merge_bad_src s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN DELETE""".stripMargin)
+    // Non-doc_id key.
+    failsWithSupportedForm(
+      s"""MERGE INTO graft.`$dir` t USING res_merge_bad_src s
+         |ON t.source = s.source
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+  }
+
   test("non-graft relations pass through untouched") {
     val plan = spark.sessionState.sqlParser.parsePlan("SELECT * FROM some_missing_tbl")
     val out = TokenTableResolution(spark)(plan)
