@@ -27,7 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object Merge {
 
   case class Result(snapshot: Snapshot, touchedFiles: Int, untouchedFiles: Int,
-      sourceRows: Long)
+      sourceRows: Long, touchedBytes: Long = 0L)
+
+  /** Segment-index pruning output: the touched file set plus the
+    * machinery to classify individual ROWS by hit-segment membership
+    * (bounds = sorted distinct file endpoints; hitSegs = sorted segments
+    * containing at least one source key).
+    */
+  case class Prune(touchedPaths: Set[String], bounds: Array[String],
+      hitSegs: Array[Int])
 
   /** First-wins dedup on doc_id ordered by `precedenceCol` asc (the
     * arrival-order stand-in; ties broken by token hash for determinism).
@@ -52,31 +60,64 @@ object Merge {
     *     search per key). Two keys with equal seg relate identically to
     *     every file interval, since all interval endpoints are segment
     *     boundaries.
-    *  2. One distinct-aggregate collects the HIT segments — bounded by
-    *     2x#files+1 ints regardless of source size (map-side partial
-    *     distinct; at 10^6 files this is a few MB).
-    *  3. Each file intersects the hit set iff a hit seg falls in
-    *     [seg(min), seg(max)] — O(#files log #hits) on the driver,
-    *     which already holds the file list for planning.
+    *  2. One bounded aggregation collects, per HIT segment, the actual
+    *     source-key extent [min key, max key] — at most 2x#files+1
+    *     output rows regardless of source size (map-side partial agg;
+    *     at 10^6 files this is a few MB).
+    *  3. The segmentation is REFINED with those key extents as extra
+    *     endpoints: a hit segment's hot span clips to the keys it
+    *     actually contains, so an update hitting 50 consecutive keys
+    *     inside a wide file marks only that key range hot — not the
+    *     file's whole elementary segment. This is what lets the rewrite
+    *     ([[mergeInto]]) carry everything outside the hot spans as cold
+    *     rows without joining them, and lets file-level pruning skip
+    *     files that sit inside an old segment but between key clusters.
+    *  4. Each file intersects the hot set iff a hot refined segment
+    *     falls in [seg(min), seg(max)] — O(#files log #hits) on the
+    *     driver, which already holds the file list for planning.
     *
-    * Over-approximates only between a file's max and the next endpoint
-    * (a pruning false positive reads an extra file; never misses one).
+    * Over-approximates only between a bound and the next refined
+    * endpoint (a false positive reads or anti-joins extra rows; never
+    * misses a match).
     */
-  def pruneTouched(files: Seq[DataFile], srcKeys: DataFrame): Set[String] = {
+  def pruneTouched(files: Seq[DataFile], srcKeys: DataFrame): Set[String] =
+    pruneTouchedFull(files, srcKeys).touchedPaths
+
+  def pruneTouchedFull(files: Seq[DataFile], srcKeys: DataFrame): Prune = {
     val spark = srcKeys.sparkSession
     import spark.implicits._
-    if (files.isEmpty) return Set.empty
+    if (files.isEmpty) return Prune(Set.empty, Array.empty, Array.empty)
     // Files without doc_id stats can never be pruned.
     val (statted, unstatted) =
       files.partition(f => f.minDocId != null && f.maxDocId != null)
-    val bounds: Array[String] = statted.flatMap(f => Seq(f.minDocId, f.maxDocId))
+    val fileBounds: Array[String] = statted.flatMap(f => Seq(f.minDocId, f.maxDocId))
       .distinct.sorted(Search.utf8Ordering).toArray
-    val hitSegs: Array[Int] =
-      if (bounds.isEmpty) Array.empty
-      else srcKeys
-        .select(SearchOps.bucketOfStr(col("doc_id"), bounds).as("seg"))
-        .distinct().as[Int].collect().sorted
+    if (fileBounds.isEmpty)
+      return Prune(unstatted.map(_.path).toSet, Array.empty, Array.empty)
+    // Per-segment source-key extents: ONE aggregation, output bounded by
+    // the segment count.
+    val segExtents: Array[(Int, String, String)] = srcKeys
+      .select(SearchOps.bucketOfStr(col("doc_id"), fileBounds).as("seg"),
+        col("doc_id"))
+      .groupBy($"seg")
+      .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
+      .as[(Int, String, String)].collect()
+    // Refined endpoint set: file endpoints + actual key extents.
+    val bounds: Array[String] =
+      (fileBounds ++ segExtents.flatMap(r => Seq(r._2, r._3)))
+        .distinct.sorted(Search.utf8Ordering).toArray
     val u8 = bounds.map(UTF8String.fromString)
+    // Hot refined segments: for each original hit segment, every refined
+    // segment between its key extents (inclusive — keys sit ON the new
+    // endpoints).
+    val hot = scala.collection.mutable.SortedSet.empty[Int]
+    segExtents.foreach { case (_, lo, hi) =>
+      val a = Search.upperBoundUtf8(u8, UTF8String.fromString(lo))
+      val b = Search.upperBoundUtf8(u8, UTF8String.fromString(hi))
+      var s = a
+      while (s <= b) { hot += s; s += 1 }
+    }
+    val hitSegs: Array[Int] = hot.toArray
     def anyHitIn(lo: Int, hi: Int): Boolean = {
       var a = 0; var b = hitSegs.length
       while (a < b) { val m = (a + b) >>> 1; if (hitSegs(m) < lo) a = m + 1 else b = m }
@@ -87,7 +128,7 @@ object Merge {
         Search.upperBoundUtf8(u8, UTF8String.fromString(f.minDocId)),
         Search.upperBoundUtf8(u8, UTF8String.fromString(f.maxDocId)))
     }
-    (touched ++ unstatted).map(_.path).toSet
+    Prune((touched ++ unstatted).map(_.path).toSet, bounds, hitSegs)
   }
 
   def mergeInto(table: TokenTable, source: DataFrame,
@@ -102,7 +143,8 @@ object Merge {
       .cache()
     val srcRows = src.count()
 
-    val touchedPaths: Set[String] = pruneTouched(all, src.select($"doc_id"))
+    val prune = pruneTouchedFull(all, src.select($"doc_id"))
+    val touchedPaths = prune.touchedPaths
 
     val touched = all.filter(f => touchedPaths.contains(f.path))
     val untouched = all.filterNot(f => touchedPaths.contains(f.path))
@@ -113,20 +155,43 @@ object Merge {
       else spark.read.schema(table.schema)
         .parquet(touched.map(f => s"${table.location}/${f.path}"): _*)
 
+    // Row-level hit-segment classifier: seg(doc_id) ∈ hitSegs, via two
+    // codegen'd binary searches (upper_bound counts elements <= key, so
+    // membership ⇔ count(seg) > count(seg-1)). Sound for rows of
+    // UNSTATTED files too: bounds partition the whole key space, and a
+    // row in a non-hit segment cannot equal any source key no matter
+    // which file held it.
+    val hotCol: org.apache.spark.sql.Column =
+      if (prune.bounds.isEmpty || prune.hitSegs.isEmpty) lit(true)
+      else {
+        val hits = prune.hitSegs.map(_.toLong)
+        val seg = SearchOps.bucketOfStr(col("doc_id"), prune.bounds).cast("long")
+        SearchOps.bucketOf(seg, hits) > SearchOps.bucketOf(seg - 1, hits)
+      }
+
     // --- the upsert, compiled through Spark SQL ---
+    // Only HOT rows (hit segments) enter the anti join; COLD rows of
+    // touched files provably match no source key and are carried
+    // verbatim. The two classes land in SEPARATE files (partitionBy) so
+    // the rewrite's cold output keeps tight doc_id stats: the next
+    // merge over the same key range prunes the cold files entirely and
+    // its rewrite bytes track the hit ranges instead of whole original
+    // files.
     val tv = s"graft_merge_target_${jobId.replaceAll("[^A-Za-z0-9_]", "_")}"
     val sv = s"graft_merge_source_${jobId.replaceAll("[^A-Za-z0-9_]", "_")}"
-    target.createOrReplaceTempView(tv)
+    target.filter(hotCol).createOrReplaceTempView(tv)
     src.createOrReplaceTempView(sv)
-    val merged = spark.sql(
+    val mergedHot = spark.sql(
       s"""SELECT t.doc_id, t.tokens, t.n_tok, t.source
          |FROM $tv t LEFT ANTI JOIN $sv s ON t.doc_id = s.doc_id
          |UNION ALL
          |SELECT doc_id, tokens, n_tok, source FROM $sv""".stripMargin)
+    val merged = mergedHot.withColumn("__hot", lit(true))
+      .unionByName(target.filter(!hotCol).withColumn("__hot", lit(false)))
 
     // Version-scoped output dir (same rationale as Compact/Cluster).
     val out = table.writeDataFilesTo(merged, s"data/$jobId-v${parent.version}",
-      overwrite = true, sortBy = Some("doc_id"))
+      overwrite = true, sortBy = Some("doc_id"), partitionBy = Seq("__hot"))
     Lineage.completeTask(table, Lineage.TaskRecord(
       jobId, "merge", touched.map(_.path), out,
       rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
@@ -138,10 +203,12 @@ object Merge {
       summary = Map(
         "source-rows" -> srcRows.toString,
         "touched-files" -> touched.size.toString,
-        "untouched-files" -> untouched.size.toString))
+        "untouched-files" -> untouched.size.toString,
+        "touched-bytes" -> touched.map(_.bytes).sum.toString))
     src.unpersist()
     spark.catalog.dropTempView(tv)
     spark.catalog.dropTempView(sv)
-    Result(snap, touched.size, untouched.size, srcRows)
+    Result(snap, touched.size, untouched.size, srcRows,
+      touchedBytes = touched.map(_.bytes).sum)
   }
 }

@@ -118,18 +118,22 @@ class TokenTable(val location: String, val spark: SparkSession) {
 
   /** Write to an explicit table-relative dir. Overwrite mode makes
     * resumed lineage tasks idempotent (a partially-written task dir from
-    * a crash is simply replaced on re-run).
+    * a crash is simply replaced on re-run). `partitionBy` splits rows
+    * into per-value subdirectory FILES (the columns are dropped from
+    * the data, Hive-style) — Merge uses it to give hot and cold row
+    * ranges separate files so their manifest stats stay tight.
     */
   def writeDataFilesTo(df: DataFrame, relDir: String, overwrite: Boolean,
-      sortBy: Option[String]): Seq[DataFile] = {
+      sortBy: Option[String], partitionBy: Seq[String] = Nil): Seq[DataFile] = {
     val abs = s"$location/$relDir"
     val out = sortBy match {
       case Some(c) => df.sortWithinPartitions(c)
       case None    => df
     }
-    out.write
+    val writer = out.write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .option("compression", "zstd") // reference writes ZSTD parquet (src/pipeline/mod.rs:120-122)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(abs)
     statsFor(relDir)
   }

@@ -63,4 +63,45 @@ class PruningSpec extends SparkSpec {
     assert(Merge.pruneTouched(overlapping, Seq("doc_g").toDF("doc_id")) ==
       Set("g0", "g1"))
   }
+
+  test("merge rewrite bytes track hit ranges: repeat merge touches far fewer bytes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = tmpDir("merge_bytes")
+    val t = TokenTable.create(spark, dir)
+    (0 until 4).foreach { i =>
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 2500, idOffset = i * 2500L, minLen = 32, maxLen = 64,
+        numPartitions = 2)))
+    }
+    // Cluster by doc_id so file stats are tight ranges.
+    Cluster.run(t, Cluster.ByDocId, "mb-cluster", targetBytes = 256L * 1024)
+    val stateBefore = checksum(
+      t.scan().filter(!$"doc_id".startsWith("doc_000000000"))) // outside update range
+
+    // A NARROW update range: 50 consecutive keys.
+    def updates(tokens: Int) = t.scan()
+      .filter($"doc_id" >= f"doc_${100}%012d" && $"doc_id" <= f"doc_${149}%012d")
+      .select($"doc_id", array_repeat(lit(tokens), 3).as("tokens"),
+        lit(3).as("n_tok"), $"source")
+      .withColumn("__p", monotonically_increasing_id())
+
+    val r1 = Merge.mergeInto(t, updates(5), "__p", "mb-m1")
+    assert(r1.touchedFiles >= 1)
+    // After the hot/cold split, the cold carry-over files have tight
+    // stats; merging the SAME range again must touch only the small hot
+    // files.
+    val r2 = Merge.mergeInto(t, updates(6), "__p", "mb-m2")
+    assert(r2.touchedBytes < r1.touchedBytes / 2,
+      s"second merge should rewrite far fewer bytes: ${r2.touchedBytes} vs ${r1.touchedBytes}")
+    // Exactness: rows outside the range are untouched; rows inside have
+    // the second merge's tokens.
+    assert(checksum(t.scan().filter(!$"doc_id".startsWith("doc_000000000"))) ==
+      stateBefore)
+    val inRange = t.scan()
+      .filter($"doc_id" >= f"doc_${100}%012d" && $"doc_id" <= f"doc_${149}%012d")
+    assert(inRange.count() == 50)
+    assert(inRange.filter($"n_tok" === 3).count() == 50)
+    assert(inRange.select(explode($"tokens")).distinct().as[Int].collect().toSet == Set(6))
+  }
 }
