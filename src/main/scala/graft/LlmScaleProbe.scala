@@ -15,12 +15,15 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.LlmScaleProbe 2 32"
   *   sbt "runMain graft.LlmScaleProbe 8 32"
   *
-  * Only the LINEAR kernels are probed (signatures, line dedup, packing,
-  * vocab, quality): replicating input makes every doc an N-way
-  * near-duplicate, so candidate-pair JOIN counts grow O(N^2) with
-  * replication — a property of the duplicated input, not of the
-  * algorithms — and pair-side scaling is already evidenced structurally
-  * (capped buckets) and by dedup_minhash_lsh in Bench.
+  * Two sections:
+  *  - LINEAR kernels (signatures, line dedup, packing, vocab, quality)
+  *    over replicated real documents;
+  *  - PAIR kernels (MinHash+LSH, banded SimHash) over a fully SYNTHETIC
+  *    corpus of pairwise-distinct docs with a planted FIXED 5% dup
+  *    rate, so candidate-pair counts grow O(N) with corpus size —
+  *    replicating real docs would make every doc an N-way near-dup and
+  *    grow candidates O(N^2), a property of that degenerate input, not
+  *    of the algorithms.
   */
 object LlmScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -81,6 +84,40 @@ object LlmScaleProbe {
       // references the word array several times and only the
       // materialized-attribute form runs the word regex once per doc.
       Corpus.withVerdict(docs).groupBy(col("verdict")).count().collect()
+    }
+    docs.unpersist(blocking = true)
+
+    // ---- pair kernels over a planted-dup-rate synthetic corpus ----
+    // Base docs are pairwise distinct (60 words drawn per-doc from a
+    // 50k vocab via xxhash64 — no shared shingles beyond chance), plus
+    // a planted 5% exact-dup rate (doc_id%20==0 re-keyed +10^9), so
+    // true pair count is ~N/20 and candidate counts stay O(N).
+    val nBase = (nDocs / 2).max(50000L)
+    val synth = {
+      val words = transform(sequence(lit(0), lit(59)),
+        j => concat(lit("w"), pmod(xxhash64(col("doc_id"), j), lit(50000L))))
+      val base = spark.range(nBase).select(col("id").as("doc_id"))
+        .select(col("doc_id"), array_join(words, " ").as("text"))
+      base.unionByName(
+        base.filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+        .repartition(cpus * 4)
+        .persist()
+    }
+    val nSynth = synth.count()
+    println(s"""{"synth_docs":$nSynth,"planted_dup_rate":0.05}""")
+
+    timed("minhash_lsh_pairs") {
+      val pairs = Dedup.minhashLsh(synth).count()
+      // Planted exact dups share all 12 signature positions — the pair
+      // count must be at least the planted count (near-chance extras ok).
+      require(pairs >= nBase / 20,
+        s"minhash pairs $pairs < planted ${nBase / 20}")
+    }
+    timed("simhash_hamming_pairs") {
+      val pairs = Dedup.simhashHamming(synth).count()
+      require(pairs >= nBase / 20,
+        s"simhash pairs $pairs < planted ${nBase / 20}")
     }
     spark.stop()
   }

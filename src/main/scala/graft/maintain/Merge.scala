@@ -170,24 +170,25 @@ object Merge {
       }
 
     // --- the upsert, compiled through Spark SQL ---
-    // Only HOT rows (hit segments) enter the anti join; COLD rows of
-    // touched files provably match no source key and are carried
-    // verbatim. The two classes land in SEPARATE files (partitionBy) so
-    // the rewrite's cold output keeps tight doc_id stats: the next
-    // merge over the same key range prunes the cold files entirely and
-    // its rewrite bytes track the hit ranges instead of whole original
-    // files.
+    // Only HOT rows (hit segments) can match; COLD rows of touched
+    // files provably match no source key. ONE pass over the touched
+    // data: the anti join's key is NULL for cold rows (null never
+    // equals, so they always survive) — two filtered branches would
+    // decode every touched file twice. The two classes land in SEPARATE
+    // files (partitionBy on __hot) so the rewrite's cold output keeps
+    // tight doc_id stats: the next merge over the same key range prunes
+    // the cold files entirely and its rewrite bytes track the hit
+    // ranges instead of whole original files.
     val tv = s"graft_merge_target_${jobId.replaceAll("[^A-Za-z0-9_]", "_")}"
     val sv = s"graft_merge_source_${jobId.replaceAll("[^A-Za-z0-9_]", "_")}"
-    target.filter(hotCol).createOrReplaceTempView(tv)
+    target.withColumn("__hot", hotCol).createOrReplaceTempView(tv)
     src.createOrReplaceTempView(sv)
-    val mergedHot = spark.sql(
-      s"""SELECT t.doc_id, t.tokens, t.n_tok, t.source
-         |FROM $tv t LEFT ANTI JOIN $sv s ON t.doc_id = s.doc_id
+    val merged = spark.sql(
+      s"""SELECT t.doc_id, t.tokens, t.n_tok, t.source, t.__hot
+         |FROM $tv t LEFT ANTI JOIN $sv s
+         |  ON (CASE WHEN t.__hot THEN t.doc_id END) = s.doc_id
          |UNION ALL
-         |SELECT doc_id, tokens, n_tok, source FROM $sv""".stripMargin)
-    val merged = mergedHot.withColumn("__hot", lit(true))
-      .unionByName(target.filter(!hotCol).withColumn("__hot", lit(false)))
+         |SELECT doc_id, tokens, n_tok, source, true AS __hot FROM $sv""".stripMargin)
 
     // Version-scoped output dir (same rationale as Compact/Cluster).
     val out = table.writeDataFilesTo(merged, s"data/$jobId-v${parent.version}",

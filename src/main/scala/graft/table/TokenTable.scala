@@ -126,10 +126,15 @@ class TokenTable(val location: String, val spark: SparkSession) {
   def writeDataFilesTo(df: DataFrame, relDir: String, overwrite: Boolean,
       sortBy: Option[String], partitionBy: Seq[String] = Nil): Seq[DataFile] = {
     val abs = s"$location/$relDir"
-    val out = sortBy match {
-      case Some(c) => df.sortWithinPartitions(c)
-      case None    => df
-    }
+    // Partition columns lead the within-partition sort: FileFormatWriter
+    // requires ordering by partition columns and would otherwise inject
+    // its own SortExec (a full re-sort that also destroys the data-column
+    // order inside each output file).
+    val sortCols = partitionBy ++ sortBy
+    val out =
+      if (sortCols.nonEmpty)
+        df.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      else df
     val writer = out.write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .option("compression", "zstd") // reference writes ZSTD parquet (src/pipeline/mod.rs:120-122)
