@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Main {
   private val usage =
-    """usage: graft.Main <command> [k=v ...]
+    """usage: graft.Main <command> [k=v ...] [config=FILE.yaml]
+      |  (config=FILE loads a kafka-delta-rs-shaped YAML; CLI k=v overrides)
       |  create    table.path=PATH
       |  gen       table.path=PATH rows=N commits=K [dup_rate=0.1] [offset=0]
       |  compact   table.path=PATH [table.target_file_bytes=B] [job.id=ID] [parallelism=P]
@@ -38,9 +39,21 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
     val cmd = args.head
-    val kv = args.tail.flatMap(_.split("=", 2) match {
+    val cliKv = args.tail.flatMap(_.split("=", 2) match {
       case Array(k, v) => Some(k -> v); case _ => None
     }).toMap
+    // `config=FILE` loads a reference-shaped YAML config (G1 file
+    // parity); CLI k=v pairs override file keys, mirroring the
+    // reference's YAML + CLI merge (src/config/mod.rs:96-127).
+    val kv: Map[String, String] = cliKv.get("config") match {
+      case Some(f) => GraftConfig.fileKv(f) match {
+        case Right(fileKeys) => fileKeys ++ (cliKv - "config")
+        case Left(err) =>
+          System.err.println(err.toString)
+          sys.exit(2)
+      }
+      case None => cliKv
+    }
     def need(k: String): String = kv.getOrElse(k,
       { System.err.println(s"missing $k\n$usage"); sys.exit(2); "" })
 

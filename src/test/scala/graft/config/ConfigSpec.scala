@@ -65,4 +65,57 @@ class ConfigSpec extends AnyFunSuite {
     // They are real exceptions with the category in the message.
     assert(GraftError.TableError("boom").getMessage.contains("Table Error"))
   }
+
+  test("loadFile: reference-shaped YAML loads with aliased keys (G1 file parity)") {
+    val yaml =
+      """# kafka-delta-rs-style config (reference src/config/mod.rs)
+        |kafka:
+        |  broker: "localhost:9092"
+        |  topics:
+        |    - events
+        |    - clicks
+        |  group_id: graft-cg
+        |delta:
+        |  table_path: /tmp/graft_cfg_table
+        |  mode: Upsert
+        |pipeline:
+        |  max_buffer_size: 5000
+        |  max_wait_secs: 60
+        |logging:
+        |  level: INFO
+        |monitoring:
+        |  enabled: true
+        |  service_name: graft
+        |  endpoint: /metrics
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft_cfg", ".yaml")
+    java.nio.file.Files.write(f, yaml.getBytes)
+    val cfg = GraftConfig.loadFile(f.toString).toOption.get
+    assert(cfg.tablePath == "/tmp/graft_cfg_table")
+    assert(cfg.sourceTopics == Seq("events", "clicks"))
+    assert(cfg.groupId == "graft-cg")
+    assert(cfg.maxBufferSize == 5000 && cfg.maxWaitSecs == 60)
+    assert(cfg.writeMode == WriteMode.Upsert)
+    assert(cfg.monitoringEnabled && cfg.monitoringEndpoint.contains("/metrics"))
+    assert(cfg.logLevel == "INFO")
+  }
+
+  test("loadFile: validation still fires through the file path; IO errors are ConfigError") {
+    val bad =
+      """kafka:
+        |  topics:
+        |    - t
+        |  group_id: g
+        |monitoring:
+        |  enabled: true
+        |""".stripMargin // no table path, no endpoint
+    val f = java.nio.file.Files.createTempFile("graft_cfg_bad", ".yaml")
+    java.nio.file.Files.write(f, bad.getBytes)
+    assert(GraftConfig.loadFile(f.toString).isLeft)
+    assert(GraftConfig.loadFile("/nonexistent/cfg.yaml").isLeft)
+    // Tabs are outside the supported subset: loud error, not silence.
+    val tabbed = java.nio.file.Files.createTempFile("graft_cfg_tab", ".yaml")
+    java.nio.file.Files.write(tabbed, "kafka:\n\ttopics: x\n".getBytes)
+    assert(GraftConfig.loadFile(tabbed.toString).isLeft)
+  }
 }

@@ -103,5 +103,12 @@ class PruningSpec extends SparkSpec {
     assert(inRange.count() == 50)
     assert(inRange.filter($"n_tok" === 3).count() == 50)
     assert(inRange.select(explode($"tokens")).distinct().as[Int].collect().toSet == Set(6))
+    // GC after split-file merges: the __hot=... subdirectory files must
+    // be visible to the recursive listing AND reachable via their
+    // manifest paths — expiry deletes only the superseded originals.
+    val live = checksum(t.scan())
+    val gc = Expire.run(t, retainLast = 1, graceMs = 0)
+    assert(gc.deletedFiles > 0, "old merge inputs should be collected")
+    assert(checksum(t.scan()) == live, "GC must not touch reachable split files")
   }
 }
