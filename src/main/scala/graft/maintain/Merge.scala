@@ -161,13 +161,18 @@ object Merge {
     // UNSTATTED files too: bounds partition the whole key space, and a
     // row in a non-hit segment cannot equal any source key no matter
     // which file held it.
-    val hotCol: org.apache.spark.sql.Column =
-      if (prune.bounds.isEmpty || prune.hitSegs.isEmpty) lit(true)
-      else {
-        val hits = prune.hitSegs.map(_.toLong)
-        val seg = SearchOps.bucketOfStr(col("doc_id"), prune.bounds).cast("long")
-        SearchOps.bucketOf(seg, hits) > SearchOps.bucketOf(seg - 1, hits)
-      }
+    //
+    // Skipped when hit segments cover most of the keyspace (uniform
+    // updates): with nothing meaningful to carve off, the classifier is
+    // pure per-row cost — two UTF8 binary searches over the endpoint
+    // array on every touched row — and "everything hot" is the correct
+    // degenerate answer. The split exists for range-local updates,
+    // where coverage is tiny.
+    val segCount = prune.bounds.length + 1
+    val hotCoverage =
+      if (segCount == 0) 1.0 else prune.hitSegs.length.toDouble / segCount
+    val split =
+      prune.bounds.nonEmpty && prune.hitSegs.nonEmpty && hotCoverage <= 0.5
 
     // --- the upsert, compiled through Spark SQL ---
     // Only HOT rows (hit segments) can match; COLD rows of touched
@@ -181,18 +186,32 @@ object Merge {
     // ranges instead of whole original files.
     val tv = s"graft_merge_target_${jobId.replaceAll("[^A-Za-z0-9_]", "_")}"
     val sv = s"graft_merge_source_${jobId.replaceAll("[^A-Za-z0-9_]", "_")}"
-    target.withColumn("__hot", hotCol).createOrReplaceTempView(tv)
     src.createOrReplaceTempView(sv)
-    val merged = spark.sql(
-      s"""SELECT t.doc_id, t.tokens, t.n_tok, t.source, t.__hot
-         |FROM $tv t LEFT ANTI JOIN $sv s
-         |  ON (CASE WHEN t.__hot THEN t.doc_id END) = s.doc_id
-         |UNION ALL
-         |SELECT doc_id, tokens, n_tok, source, true AS __hot FROM $sv""".stripMargin)
+    val merged =
+      if (split) {
+        val hits = prune.hitSegs.map(_.toLong)
+        val seg = SearchOps.bucketOfStr(col("doc_id"), prune.bounds).cast("long")
+        val hotCol = SearchOps.bucketOf(seg, hits) > SearchOps.bucketOf(seg - 1, hits)
+        target.withColumn("__hot", hotCol).createOrReplaceTempView(tv)
+        spark.sql(
+          s"""SELECT t.doc_id, t.tokens, t.n_tok, t.source, t.__hot
+             |FROM $tv t LEFT ANTI JOIN $sv s
+             |  ON (CASE WHEN t.__hot THEN t.doc_id END) = s.doc_id
+             |UNION ALL
+             |SELECT doc_id, tokens, n_tok, source, true AS __hot FROM $sv""".stripMargin)
+      } else {
+        target.createOrReplaceTempView(tv)
+        spark.sql(
+          s"""SELECT t.doc_id, t.tokens, t.n_tok, t.source
+             |FROM $tv t LEFT ANTI JOIN $sv s ON t.doc_id = s.doc_id
+             |UNION ALL
+             |SELECT doc_id, tokens, n_tok, source FROM $sv""".stripMargin)
+      }
 
     // Version-scoped output dir (same rationale as Compact/Cluster).
     val out = table.writeDataFilesTo(merged, s"data/$jobId-v${parent.version}",
-      overwrite = true, sortBy = Some("doc_id"), partitionBy = Seq("__hot"))
+      overwrite = true, sortBy = Some("doc_id"),
+      partitionBy = if (split) Seq("__hot") else Nil)
     Lineage.completeTask(table, Lineage.TaskRecord(
       jobId, "merge", touched.map(_.path), out,
       rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
