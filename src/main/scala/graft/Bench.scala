@@ -41,11 +41,17 @@ object Bench {
     // tmpfs these pages are RAM, and tens of leftover GB plus the live
     // run's working set is exactly how the OOM-killer gets invoked.
     wipe(benchBase)
+    // SPARK_GRAFT_LOCAL_DIR splits scratch storage: the biggest runs
+    // put table versions on disk (capacity) and shuffle on tmpfs
+    // (bandwidth) — neither alone holds a 60M-row cycle on this box.
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+      s"$benchBase/spark-local")
+    wipe(localDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.local.dir", s"$benchBase/spark-local")
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

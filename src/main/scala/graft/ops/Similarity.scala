@@ -268,6 +268,16 @@ object Similarity {
     * with the data (rule of thumb ~sqrt(N) cells, nProbe a few % of
     * them) — a parameter here because cell count is pipeline config.
     */
+  /** Cell count for a corpus of n vectors: the standard IVF rule of
+    * thumb ~sqrt(n) (each cell holds ~sqrt(n) vectors; probing nProbe
+    * cells scans ~nProbe*sqrt(n) candidates), floored at 16 so tiny
+    * corpora keep a meaningful index. The oracle-checked driver query
+    * pins nCentroids=16 (its SQL is generated for a fixed C); pipelines
+    * sizing an index for a real corpus pass `adaptiveCentroids(count)`.
+    */
+  def adaptiveCentroids(n: Long): Int =
+    math.max(16, math.sqrt(n.toDouble).toInt)
+
   def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
       nCentroids: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 2, sampleMod: Int = 4): DataFrame = {
