@@ -101,6 +101,15 @@ object Format {
     * Returns false on lost race (caller re-reads latest and rebases or
     * aborts — north-rule commit-conflict requirement; analog of the
     * reference's commit-retry loop `src/kafka/mod.rs:191-228`).
+    *
+    * Portability boundary: this is the ONE primitive that binds the
+    * format to its storage's atomicity model, deliberately isolated
+    * here. On HDFS the same contract is `FileSystem.create(path,
+    * overwrite=false)` (exclusive create); on object stores it is a
+    * conditional put (S3 If-None-Match / GCS precondition) or, like
+    * Iceberg and Delta, a small catalog/DynamoDB-style mutex service.
+    * Everything above this function — rebase, watermark merge,
+    * conflict abort — is storage-agnostic.
     */
   def tryPublish(tableDir: String, snapshot: Snapshot): Boolean = {
     val md = Paths.get(tableDir, Metadata)
