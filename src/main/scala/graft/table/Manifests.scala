@@ -91,7 +91,13 @@ object Manifests {
   def readLocal(absDir: String, conf: Configuration): Iterator[DataFile] = {
     val dir = new org.apache.hadoop.fs.Path(absDir)
     val fs = dir.getFileSystem(conf)
-    if (!fs.exists(dir)) return Iterator.empty
+    // A snapshot's manifests outlive the snapshot (GC only collects
+    // manifests unreachable from every RETAINED version), so a missing
+    // dir is corruption: fail loudly — a silent empty iterator would
+    // turn a damaged table into a plausible-looking empty scan.
+    if (!fs.exists(dir))
+      throw new java.io.FileNotFoundException(
+        s"manifest directory missing (table corruption?): $absDir")
     val parts = fs.listStatus(dir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
