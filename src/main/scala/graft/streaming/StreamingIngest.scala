@@ -27,24 +27,65 @@ case class PartitionCursor(lastOffset: Long)
   * `Trigger.ProcessingTime` bounds the wait, source admission options
   * (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`) bound the size.
   */
+/** Inline-maintenance policy for continuous ingest: after each
+  * micro-batch commit, compact when the live snapshot holds at least
+  * `maxSmallFiles` files under `smallFileBytes`. Streaming ingest is
+  * exactly the workload that grows a small-file swamp (the north-star
+  * problem statement) — a table that is continuously written must also
+  * be continuously maintained, or scans degrade linearly in commit
+  * count.
+  */
+case class MaintenancePolicy(
+    smallFileBytes: Long = 16L * 1024 * 1024,
+    maxSmallFiles: Int = 16,
+    targetBytes: Long = 128L * 1024 * 1024)
+
 object StreamingIngest {
 
   /** Start continuous ingest from any RawMessage stream (with a real
     * Kafka jar this would be `spark.readStream.format("kafka")` mapped
     * to RawMessage; the semantics downstream are source-independent).
+    *
+    * With a [[MaintenancePolicy]], each micro-batch is followed by a
+    * threshold-gated compaction — serialized with ingest inside
+    * foreachBatch, so the rewrite can only lose a CAS race to an
+    * EXTERNAL writer, in which case it backs off and the next batch
+    * re-evaluates (maintenance is always re-planable; ingest never
+    * waits on it erroring out).
     */
   def start(table: TokenTable, stream: Dataset[RawMessage],
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      deadLetterDir: Option[String] = None): StreamingQuery =
+      deadLetterDir: Option[String] = None,
+      maintenance: Option[MaintenancePolicy] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: Dataset[RawMessage], _: Long) =>
+      .foreachBatch { (batch: Dataset[RawMessage], batchId: Long) =>
         Ingest.ingestBatch(table, batch, deadLetterDir)
+        maintenance.foreach(p => maybeCompact(table, p, s"auto-compact-$batchId"))
         ()
       }
       .start()
+
+  /** Threshold check + compaction for [[start]]'s inline maintenance.
+    * The check is a manifest read (O(#files) planning metadata, no data
+    * IO); the jobId is batch-derived, so a replayed micro-batch resumes
+    * the same lineage instead of duplicating work. Returns None when
+    * below threshold or when the rewrite lost a CAS race to a
+    * concurrent external writer.
+    */
+  def maybeCompact(table: TokenTable, policy: MaintenancePolicy,
+      jobId: String): Option[graft.maintain.Compact.Result] = {
+    val small = table.filesLocal(table.current)
+      .count(_.bytes < policy.smallFileBytes)
+    if (small < policy.maxSmallFiles) None
+    else
+      try Some(graft.maintain.Compact.run(table, policy.targetBytes, jobId))
+      catch {
+        case _: graft.table.CommitConflictException => None // re-plan next batch
+      }
+  }
 
   /** Event-time streaming dedup (the watermark-bounded analog of D1 for
     * sources with an event-time column): keeps the first occurrence per

@@ -90,6 +90,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("inline maintenance: small-file swamp auto-compacts between micro-batches") {
+    val dir = tmpDir("stream-auto")
+    val t = TokenTable.create(spark, dir)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[RawMessage]
+    // Every micro-batch writes tiny files; threshold 4 small files.
+    val q = StreamingIngest.start(t, source.toDS(), tmpDir("ckpt-auto"),
+      Trigger.ProcessingTime(0L),
+      maintenance = Some(MaintenancePolicy(
+        smallFileBytes = 1L << 20, maxSmallFiles = 4, targetBytes = 8L << 20)))
+    try {
+      (0 until 6).foreach { b =>
+        source.addData(msgs(b * 20, b * 20 + 20): _*)
+        q.processAllAvailable()
+      }
+      assert(t.scan().count() == 120, "every batch's rows present")
+      // Compaction fired at least once: some retained version carries
+      // the compact op, and the live file count stays bounded by the
+      // policy instead of growing one-per-batch.
+      val ops = (0L to t.currentVersion).map(v => t.snapshotAt(v).operation)
+      assert(ops.contains("compact"), s"no auto-compaction in $ops")
+      val files = t.filesLocal(t.current)
+      assert(files.size < 6, s"file count should stay bounded, got ${files.size}")
+      // Exactness: the compacted table equals the direct union of batches.
+      assert(t.scan().select("doc_id").distinct().count() == 120)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups a keyed event stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[(java.sql.Timestamp, String, Int)]

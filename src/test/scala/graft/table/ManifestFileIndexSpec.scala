@@ -97,6 +97,36 @@ class ManifestFileIndexSpec extends SparkSpec {
     assert(bySource.count() == direct)
   }
 
+  test("pruning compares strings in UTF8 binary order, not Java UTF-16 order") {
+    // U+FFFF vs U+10000 (surrogate pair): Java String order says
+    // "￿" > "𐀀" (code-unit compare), UTF8 binary order
+    // says the opposite (EF BF BF < F0 90 80 80) — and Spark compares
+    // strings in UTF8 order. A Java-ordered prune would wrongly skip
+    // the file for the supplementary-plane key.
+    val supp = new String(Character.toChars(0x10000)) // U+10000
+    val bmp = "￿"
+    assert(bmp.compareTo(supp) > 0, "Java order sanity")
+    assert(UTF8String.fromString(bmp).compareTo(UTF8String.fromString(supp)) < 0,
+      "UTF8 order sanity")
+    val loc = tmpDir("mfi_utf8")
+    // One file whose range is [U+FFFF, U+10000] in UTF8 order — an
+    // inverted (empty) range under Java ordering.
+    Manifests.writeLocal(s"$loc/metadata/manifest-0", Seq(
+      DataFile("data/f0.parquet", 10L, 1L, bmp, supp, 1, 1, 1L, "a", "a")))
+    val snap = Snapshot(0, -1, TokenTable.tokenSchema.json, "append",
+      Seq("metadata/manifest-0"), Map.empty, 1L)
+    val idx = new ManifestFileIndex(spark, loc, snap)
+    // The supplementary key is INSIDE the range under UTF8 order.
+    val eq = EqualTo(attr("doc_id", StringType),
+      Literal(UTF8String.fromString(supp), StringType))
+    assert(idx.listFiles(Nil, Seq(eq)).head.files.size == 1,
+      "UTF8-ordered range must keep the file for the supplementary key")
+    // A key above U+10000 in UTF8 order is outside and prunes.
+    val above = EqualTo(attr("doc_id", StringType),
+      Literal(UTF8String.fromString(supp + "a"), StringType))
+    assert(idx.listFiles(Nil, Seq(above)).head.files.isEmpty)
+  }
+
   test("scan results identical across the index path and an explicit path-list read") {
     val loc = tmpDir("mfi_eq")
     val t = TokenTable.create(spark, loc)
