@@ -61,6 +61,7 @@ object SparkEntry {
     "corpus_quality_filter" -> ((s, d) => ops.Corpus.qualityFilterQuery(s, d)),
     "dedup_lines" -> ((s, d) => ops.Dedup.lineDedupQuery(s, d)),
     "corpus_vocab" -> ((s, d) => ops.TextOps.vocabQuery(s, d)),
+    "text_scrub" -> ((s, d) => ops.TextOps.scrubQuery(s, d)),
     "corpus_pipeline_e2e" -> ((s, d) => ops.Corpus.pipelineQuery(s, d)),
   )
 
@@ -104,6 +105,7 @@ object SparkEntry {
     "corpus_quality_filter" -> ops.Corpus.qualityFilterSql,
     "dedup_lines" -> ops.Dedup.lineDedupSql,
     "corpus_vocab" -> ops.TextOps.vocabSql,
+    "text_scrub" -> ops.TextOps.scrubSql,
     "corpus_pipeline_e2e" -> ops.Corpus.pipelineSql,
   )
 }

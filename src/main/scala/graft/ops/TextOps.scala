@@ -111,6 +111,78 @@ object TextOps {
        |      FROM documents)
        |GROUP BY word ORDER BY occurrences DESC, word LIMIT $VocabK""".stripMargin
 
+  // ----------------------------------------------------------- scrubbing
+
+  /** C4-style PII/link scrub patterns. Deliberately restricted to
+    * explicit character classes and greedy `+` quantifiers — the subset
+    * where Java regex (Spark) and RE2 (DuckDB) match byte-identically
+    * (no backreferences, no lookaround, no dot-any), so the scrubbed
+    * text itself is oracle-checkable, not just the counts.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[A-Za-z0-9./_%+-]+"
+
+  /** PII/link scrubbing over a corpus: emails then URLs replaced with
+    * redaction tokens, with per-doc match counts — the standard
+    * pre-training hygiene pass (C4 filters lines by badwords/braces;
+    * production pipelines additionally redact addresses and links).
+    * Pure scan-stage projection: zero shuffles, codegen'd regex ops.
+    * Output keeps the scrubbed text's md5 (small, exactly checkable)
+    * rather than shipping the text through the comparator.
+    */
+  def scrub(docs: DataFrame): DataFrame = {
+    val noEmail = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
+        .cast("long").as("n_urls"),
+      md5(regexp_replace(noEmail, UrlRe, "<URL>")).as("scrubbed_hash"))
+  }
+
+  /** Driver query over documents augmented with PLANTED contact lines
+    * (the synthetic corpus contains no emails/URLs, so true positives
+    * must be planted — same pattern as Dedup.augmented): every 3rd doc
+    * gains an email + URL; every 9th gains a second email.
+    */
+  def scrubQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact doc"), col("doc_id"),
+              lit("@example.com via https://ex.org/d/"), col("doc_id")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 9 === 0,
+            concat(lit(" cc admin+"), col("doc_id"), lit("@ex.net")))
+            .otherwise(lit(""))).as("text"))
+    scrub(docs)
+  }
+
+  val scrubSql: String = {
+    // DuckDB standard strings don't process backslash escapes: the
+    // runtime pattern (single backslash) interpolates verbatim.
+    val email = EmailRe
+    val url = UrlRe
+    s"""WITH aug AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0
+       |            THEN ' contact doc' || doc_id || '@example.com via https://ex.org/d/' || doc_id
+       |            ELSE '' END
+       |    || CASE WHEN doc_id % 9 = 0
+       |            THEN ' cc admin+' || doc_id || '@ex.net'
+       |            ELSE '' END AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+       |  md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |      '$url', '<URL>', 'g')) AS scrubbed_hash
+       |FROM aug""".stripMargin
+  }
+
   // ------------------------------------------------------------- queries
 
   def analyze(spark: SparkSession, dir: String): DataFrame =

@@ -193,4 +193,23 @@ class OpsSpec extends SparkSpec {
       .select(TextOps.fingerprint($"text")).as[String].collect()
     assert(fps(0) == fps(1), "fingerprint must ignore order and multiplicity")
   }
+
+  test("scrub redacts emails and URLs exactly, counts per doc") {
+    val rows = Seq(
+      (1L, "hello bob@ex.com and carol+x@sub.ex.org end"),
+      (2L, "see https://a.b/c?skip and http://plain.net/p_1 done"),
+      (3L, "mixed joe@x.io at https://y.z/joe today"),
+      (4L, "nothing to scrub here")).toDF("doc_id", "text")
+    val got = TextOps.scrub(rows)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+      (1L, 2L, 0L), (2L, 0L, 2L), (3L, 1L, 1L), (4L, 0L, 0L)))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    assert(got(0)._4 == md5("hello <EMAIL> and <EMAIL> end"))
+    // '?' is outside the URL class: the match stops before it.
+    assert(got(1)._4 == md5("see <URL>?skip and <URL> done"))
+    assert(got(2)._4 == md5("mixed <EMAIL> at <URL> today"))
+    assert(got(3)._4 == md5("nothing to scrub here"))
+  }
 }
