@@ -32,11 +32,17 @@ object Bench {
     // SPARK_GRAFT_BENCH_DIR overrides for runs whose working set
     // (several retained table versions + shuffle) would not fit in RAM
     // as tmpfs pages — e.g. the 60M-row robustness cycle runs on disk.
-    val benchBase = sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR",
-      if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
-        "/dev/shm/graft_bench"
-      else s"${System.getProperty("java.io.tmpdir")}/graft_bench")
-    // Wipe the WHOLE scratch base (stale tables from other widths plus
+    // The wiped scratch roots are always a bench-OWNED subdirectory
+    // named graft_bench / graft-spark-local UNDER whatever the env names
+    // (ADVICE r3): pointing SPARK_GRAFT_BENCH_DIR at /tmp or a shared
+    // volume must never recursively delete that directory's own contents.
+    val benchBase = sys.env.get("SPARK_GRAFT_BENCH_DIR")
+      .map(d => s"${d.stripSuffix("/")}/graft_bench")
+      .getOrElse(
+        if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm/graft_bench"
+        else s"${System.getProperty("java.io.tmpdir")}/graft_bench")
+    // Wipe the whole OWNED base (stale tables from other widths plus
     // spark-local shuffle dirs that a killed JVM never cleaned): on
     // tmpfs these pages are RAM, and tens of leftover GB plus the live
     // run's working set is exactly how the OOM-killer gets invoked.
@@ -44,8 +50,9 @@ object Bench {
     // SPARK_GRAFT_LOCAL_DIR splits scratch storage: the biggest runs
     // put table versions on disk (capacity) and shuffle on tmpfs
     // (bandwidth) — neither alone holds a 60M-row cycle on this box.
-    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
-      s"$benchBase/spark-local")
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR")
+      .map(d => s"${d.stripSuffix("/")}/graft-spark-local")
+      .getOrElse(s"$benchBase/spark-local")
     wipe(localDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

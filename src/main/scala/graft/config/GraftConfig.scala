@@ -139,13 +139,30 @@ object GraftConfig {
           (t.head == '\'' && t.last == '\''))) t.substring(1, t.length - 1)
       else t
     }
+    // YAML inline comments: '#' preceded by whitespace, outside quotes,
+    // starts a comment ('level: INFO # prod' → value INFO, not
+    // 'INFO # prod'). '#' inside a quoted value is data.
+    def stripInlineComment(s: String): String = {
+      var inSingle = false; var inDouble = false
+      var i = 0
+      while (i < s.length) {
+        s.charAt(i) match {
+          case '\'' if !inDouble => inSingle = !inSingle
+          case '"' if !inSingle => inDouble = !inDouble
+          case '#' if !inSingle && !inDouble &&
+              (i == 0 || s.charAt(i - 1).isWhitespace) =>
+            return s.substring(0, i)
+          case _ =>
+        }
+        i += 1
+      }
+      s
+    }
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Stack of (indent, key-path).
     var stack = List.empty[(Int, String)]
     for ((raw, i) <- lines.zipWithIndex) {
-      val noComment =
-        if (raw.trim.startsWith("#")) ""
-        else raw // '#' inside values is rare in this surface; keep simple
+      val noComment = if (raw.trim.startsWith("#")) "" else raw
       if (noComment.trim.nonEmpty) {
         if (noComment.contains('\t'))
           return Left(GraftError.ConfigError(s"config line ${i + 1}: tabs are not supported"))
@@ -153,19 +170,32 @@ object GraftConfig {
         val body = noComment.trim
         stack = stack.dropWhile(_._1 >= indent)
         val prefix = stack.headOption.map(_._2 + ".").getOrElse("")
+        def rejectFlow(v: String): Option[GraftError.ConfigError] = {
+          val t = v.trim
+          if (t.nonEmpty && (t.head == '[' || t.head == '{'))
+            Some(GraftError.ConfigError(s"config line ${i + 1}: flow collections " +
+              "('[...]'/'{...}') are not supported; use block sequences"))
+          else None
+        }
         if (body.startsWith("- ")) {
           val parent = stack.headOption.map(_._2).getOrElse(
             return Left(GraftError.ConfigError(s"config line ${i + 1}: list item without a key")))
-          val item = unquote(body.drop(2))
+          val itemRaw = stripInlineComment(body.drop(2))
+          rejectFlow(itemRaw).foreach(e => return Left(e))
+          val item = unquote(itemRaw)
           out(parent) = out.get(parent).filter(_.nonEmpty)
             .map(_ + "," + item).getOrElse(item)
           stack = (indent, parent) :: stack // keep parent live for siblings
         } else body.split(":", 2) match {
-          case Array(k, v) if v.trim.isEmpty => // nested map opener
-            stack = (indent, prefix + k.trim) :: stack
-            out.getOrElseUpdate(prefix + k.trim, "")
-          case Array(k, v) =>
-            out(prefix + k.trim) = unquote(v)
+          case Array(k, v0) =>
+            val v = stripInlineComment(v0)
+            if (v.trim.isEmpty) { // nested map opener (possibly 'key:  # note')
+              stack = (indent, prefix + k.trim) :: stack
+              out.getOrElseUpdate(prefix + k.trim, "")
+            } else {
+              rejectFlow(v).foreach(e => return Left(e))
+              out(prefix + k.trim) = unquote(v)
+            }
           case _ =>
             return Left(GraftError.ConfigError(s"config line ${i + 1}: expected 'key: value'"))
         }

@@ -52,6 +52,14 @@ object FileStats {
         case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
         case x => String.valueOf(x)
       }
+      // Cross-block merges MUST use UTF8 binary order: every consumer of
+      // these bounds (ManifestFileIndex, Merge's segment index) compares
+      // in UTF8String byte order, which diverges from Java String
+      // (UTF-16 code-unit) order for supplementary-plane characters —
+      // e.g. "￿" > "𐀀" in Java order but U+FFFF < U+10000
+      // in byte order. A Java-order reduce over multi-row-group files
+      // could record a non-bound ⇒ a pruning false-negative (missed file).
+      val ord = graft.functions.Search.utf8Ordering
       blocks.forEach { b =>
         rows += b.getRowCount
         b.getColumns.forEach { c =>
@@ -59,12 +67,12 @@ object FileStats {
           c.getPath.toDotString match {
             case "doc_id" if st != null && st.hasNonNullValue =>
               val lo = utf8(st.genericGetMin); val hi = utf8(st.genericGetMax)
-              if (minDoc == null || lo < minDoc) minDoc = lo
-              if (maxDoc == null || hi > maxDoc) maxDoc = hi
+              if (minDoc == null || ord.lt(lo, minDoc)) minDoc = lo
+              if (maxDoc == null || ord.gt(hi, maxDoc)) maxDoc = hi
             case "source" if st != null && st.hasNonNullValue =>
               val lo = utf8(st.genericGetMin); val hi = utf8(st.genericGetMax)
-              if (minSrc == null || lo < minSrc) minSrc = lo
-              if (maxSrc == null || hi > maxSrc) maxSrc = hi
+              if (minSrc == null || ord.lt(lo, minSrc)) minSrc = lo
+              if (maxSrc == null || ord.gt(hi, maxSrc)) maxSrc = hi
             case "n_tok" if st != null && st.hasNonNullValue =>
               val lo = st.genericGetMin.asInstanceOf[Number].intValue
               val hi = st.genericGetMax.asInstanceOf[Number].intValue

@@ -131,7 +131,11 @@ class ManifestFileIndex(
         if (strict) hi.compareTo(u) > 0 else hi.compareTo(u) >= 0
       }
       case n: Number if col == "n_tok" =>
-        if (strict) f.maxNtok > n.longValue else f.maxNtok >= n.longValue
+        // minNtok > maxNtok is the "no stats" sentinel (a file written
+        // without n_tok statistics persists Int.MaxValue/Int.MinValue);
+        // absent stats must keep the file, never prune it.
+        f.minNtok > f.maxNtok ||
+          (if (strict) f.maxNtok > n.longValue else f.maxNtok >= n.longValue)
       case _ => true
     }
 
@@ -142,7 +146,8 @@ class ManifestFileIndex(
         if (strict) lo.compareTo(u) < 0 else lo.compareTo(u) <= 0
       }
       case n: Number if col == "n_tok" =>
-        if (strict) f.minNtok < n.longValue else f.minNtok <= n.longValue
+        f.minNtok > f.maxNtok ||
+          (if (strict) f.minNtok < n.longValue else f.minNtok <= n.longValue)
       case _ => true
     }
 }

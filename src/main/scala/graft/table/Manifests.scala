@@ -107,8 +107,15 @@ object Manifests {
           ParquetReader.builder(new GroupReadSupport(), st.getPath)
             .withConf(conf).build()
         private var nextGroup: Group = advance()
+        // Close at exhaustion AND on a mid-stream read failure — an
+        // exception that escapes through flatMap would otherwise strand
+        // the open file handle (ADVICE r3). A caller that abandons the
+        // iterator early (take/limit) still leaks; all current callers
+        // drain or fail, both now closed paths.
         private def advance(): Group = {
-          val g = reader.read()
+          val g =
+            try reader.read()
+            catch { case t: Throwable => reader.close(); throw t }
           if (g == null) reader.close()
           g
         }

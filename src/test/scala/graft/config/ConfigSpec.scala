@@ -118,4 +118,30 @@ class ConfigSpec extends AnyFunSuite {
     java.nio.file.Files.write(tabbed, "kafka:\n\ttopics: x\n".getBytes)
     assert(GraftConfig.loadFile(tabbed.toString).isLeft)
   }
+
+  test("loadFile: inline comments strip; quoted '#' is data; flow collections are loud errors") {
+    def kv(yaml: String) = {
+      val f = java.nio.file.Files.createTempFile("graft_cfg_inline", ".yaml")
+      java.nio.file.Files.write(f, yaml.getBytes)
+      GraftConfig.fileKv(f.toString)
+    }
+    // 'level: INFO # prod' must parse as INFO, not 'INFO # prod'
+    // (ADVICE r3: the comment silently became part of the value).
+    val c = kv(
+      """logging:
+        |  level: INFO  # production default
+        |kafka:   # section note
+        |  group_id: "g#1"
+        |  topics:
+        |    - events  # main stream
+        |""".stripMargin).toOption.get
+    assert(c("logging.level") == "INFO")
+    assert(c("source.group_id") == "g#1", "quoted '#' is data, not a comment")
+    assert(c("source.topics") == "events")
+    // Flow collections are outside the subset: loud error, never a
+    // silently-wrong literal scalar.
+    assert(kv("kafka:\n  topics: [a, b]\n").isLeft)
+    assert(kv("delta:\n  opts: {k: v}\n").isLeft)
+    assert(kv("kafka:\n  topics:\n    - [a]\n").isLeft)
+  }
 }
