@@ -72,67 +72,102 @@ object Bench {
     }
 
     // ---------------- north-star maintenance cycle on a TokenGen table
-    val loc = s"$benchBase/t_${benchRows}_$cpus"
-    wipe(loc)
-    val t = TokenTable.create(spark, loc)
-    val commits = 24
-    timed("ns_ingest") {
-      // Concurrent appenders (real ingest is many writers): the CAS
-      // commit protocol auto-rebases append conflicts. Fixed partition
-      // count -> identical file layout at every parallelism level (the
-      // scaling comparison holds the plan constant, varying only
-      // concurrency).
-      val per = benchRows / commits
-      val writers = math.max(1, math.min(4, cpus / 2))
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val fs = (0 until commits).map { c =>
-        scala.concurrent.Future {
-          t.append(TokenGen.asTokenRows(TokenGen.generate(
-            spark, per, idOffset = c * per, minLen = 32, maxLen = 160,
-            numPartitions = 32)))
-        }
+    //
+    // The cycle runs SPARK_GRAFT_BENCH_REPS times (default 3) on a fresh
+    // table each rep, and the artifact reports per-phase MEDIANS (plus
+    // min and the raw runs): this box swings ±20-30% run to run, and a
+    // single draw once recorded a 1.9x phantom "regression" (VERDICT r3)
+    // — the official artifact must carry its own noise evidence.
+    case class Cycle(times: Map[String, Double], tokens: Long, bytesIn: Long)
+    def runCycle(rep: Int): Cycle = {
+      val cycleTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      def ctimed[A](name: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val r = f
+        cycleTimes(name) = (System.nanoTime() - t0) / 1e9
+        r
       }
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(fs),
-        scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+      val loc = s"$benchBase/t_${benchRows}_${cpus}_rep$rep"
+      wipe(loc)
+      val t = TokenTable.create(spark, loc)
+      val commits = 24
+      ctimed("ns_ingest") {
+        // Concurrent appenders (real ingest is many writers): the CAS
+        // commit protocol auto-rebases append conflicts. Fixed partition
+        // count -> identical file layout at every parallelism level (the
+        // scaling comparison holds the plan constant, varying only
+        // concurrency).
+        val per = benchRows / commits
+        val writers = math.max(1, math.min(4, cpus / 2))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val fs = (0 until commits).map { c =>
+          scala.concurrent.Future {
+            t.append(TokenGen.asTokenRows(TokenGen.generate(
+              spark, per, idOffset = c * per, minLen = 32, maxLen = 160,
+              numPartitions = 32)))
+          }
+        }
+        try scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(fs),
+          scala.concurrent.duration.Duration.Inf)
+        finally pool.shutdown()
+      }
+      val bytesIn = t.filesLocal(t.current).map(_.bytes).sum
+      // Work-unit size is a function of DATA, not core count, so the plan
+      // is identical at every parallelism level (the N-vs-4N comparison
+      // then varies only concurrency): ~64 units total, floor 8MB.
+      val targetBytes = math.max(8L * 1024 * 1024, bytesIn / 64L)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+      ctimed("ns_compact") {
+        Compact.run(t, targetBytes = targetBytes, jobId = "bench-compact",
+          parallelism = cpus)
+      }
+      ctimed("ns_zorder") {
+        Cluster.run(t, Cluster.ZOrder, "bench-zorder", targetBytes = targetBytes)
+      }
+      ctimed("ns_merge") {
+        // 5% updates + 2% inserts
+        val upd = TokenGen.generate(spark, benchRows / 20, idOffset = 0,
+          minLen = 32, maxLen = 160, numPartitions = 32)
+        val ins = TokenGen.generate(spark, benchRows / 50,
+          idOffset = benchRows * 10, minLen = 32, maxLen = 160, numPartitions = 32)
+        Merge.mergeInto(t, upd.unionByName(ins), "offset", "bench-merge")
+      }
+      ctimed("ns_expire") { Expire.run(t, retainLast = 1, graceMs = 0) }
+      // Metadata-cheap scan: sum(n_tok) prunes to one int column.
+      val tokens = ctimed("ns_scan") {
+        t.scan().agg(sum(col("n_tok").cast("long"))).head().getLong(0)
+      }
+      // The headline metric — post-maintenance FULL scan: decodes every
+      // token array and folds it into a checksum, so all bytes are read.
+      val fullChecksum = ctimed("ns_scan_full") {
+        t.scan().agg(
+          sum(col("n_tok").cast("long")),
+          sum(pmod(xxhash64(col("doc_id"), col("tokens")), lit(1000000007L)))).head()
+      }
+      require(fullChecksum.getLong(0) == tokens, "scan disagreement")
+      wipe(loc) // keep tmpfs flat across reps
+      Cycle(cycleTimes.toMap, tokens, bytesIn)
     }
-    val bytesIn = t.filesLocal(t.current).map(_.bytes).sum
-    // Work-unit size is a function of DATA, not core count, so the plan
-    // is identical at every parallelism level (the N-vs-4N comparison
-    // then varies only concurrency): ~64 units total, floor 8MB.
-    val targetBytes = math.max(8L * 1024 * 1024, bytesIn / 64L)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
-    val compactRes = timed("ns_compact") {
-      Compact.run(t, targetBytes = targetBytes, jobId = "bench-compact",
-        parallelism = cpus)
+
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val cycles = (0 until reps).map(runCycle)
+    // Deterministic generator ⇒ identical tables ⇒ identical totals.
+    require(cycles.map(_.tokens).distinct.size == 1, "cross-rep token disagreement")
+    require(cycles.map(_.bytesIn).distinct.size == 1, "cross-rep byte disagreement")
+    val tokens = cycles.head.tokens
+    val compactBytesIn = cycles.head.bytesIn
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    timed("ns_zorder") {
-      Cluster.run(t, Cluster.ZOrder, "bench-zorder", targetBytes = targetBytes)
-    }
-    timed("ns_merge") {
-      // 5% updates + 2% inserts
-      val upd = TokenGen.generate(spark, benchRows / 20, idOffset = 0,
-        minLen = 32, maxLen = 160, numPartitions = 32)
-      val ins = TokenGen.generate(spark, benchRows / 50,
-        idOffset = benchRows * 10, minLen = 32, maxLen = 160, numPartitions = 32)
-      Merge.mergeInto(t, upd.unionByName(ins), "offset", "bench-merge")
-    }
-    timed("ns_expire") { Expire.run(t, retainLast = 1, graceMs = 0) }
-    // Metadata-cheap scan: sum(n_tok) prunes to one int column.
-    val tokens = timed("ns_scan") {
-      t.scan().agg(sum(col("n_tok").cast("long"))).head().getLong(0)
-    }
-    // The headline metric — post-maintenance FULL scan: decodes every
-    // token array and folds it into a checksum, so all bytes are read.
-    val fullChecksum = timed("ns_scan_full") {
-      t.scan().agg(
-        sum(col("n_tok").cast("long")),
-        sum(pmod(xxhash64(col("doc_id"), col("tokens")), lit(1000000007L)))).head()
-    }
-    require(fullChecksum.getLong(0) == tokens, "scan disagreement")
+    val phaseNames = Seq("ns_ingest", "ns_compact", "ns_zorder", "ns_merge",
+      "ns_expire", "ns_scan", "ns_scan_full")
+    val phaseRuns: Map[String, Seq[Double]] =
+      phaseNames.map(p => p -> cycles.map(_.times(p))).toMap
+    phaseNames.foreach(p => times(p) = median(phaseRuns(p)))
 
     // ---------------- representative testdata queries (driver contract)
     for (name <- Seq("d1_dedup_firstwins", "m3_stats_agg", "text_analyze",
@@ -151,16 +186,24 @@ object Bench {
     // projection; drop the final one too so the session ends clean.
     ops.Corpus.releasePackCache()
 
+    // queries carries the MEDIAN per ns_* phase; phase_stats carries
+    // median/min plus every raw run so the artifact evidences its own
+    // noise (single draws on this box swing ±20-30%).
     val scanTps = tokens / math.max(times("ns_scan_full"), 1e-9)
-    val compactGbps = (compactRes.bytesIn / 1e9) / math.max(times("ns_compact"), 1e-9)
+    val compactGbps = (compactBytesIn / 1e9) / math.max(times("ns_compact"), 1e-9)
     val total = times.values.sum
     val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val stats = phaseNames.map { p =>
+      val runs = phaseRuns(p)
+      s""""$p":{"median":${median(runs)},"min":${runs.min},"runs":[${runs.mkString(",")}]}"""
+    }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-        s""","cpus":$cpus,"bench_rows":$benchRows,"tokens":$tokens""" +
+        s""","cpus":$cpus,"bench_rows":$benchRows,"reps":$reps,"tokens":$tokens""" +
         s""","scan_tokens_per_sec":${scanTps.toLong}""" +
         s""","compact_gb_per_sec":${f"$compactGbps%.4f"}""" +
-        s""","compact_bytes_in":${compactRes.bytesIn}}""")
+        s""","compact_bytes_in":$compactBytesIn""" +
+        s""","phase_stats":$stats}""")
     spark.stop()
   }
 
