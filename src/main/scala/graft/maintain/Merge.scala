@@ -27,7 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object Merge {
 
   case class Result(snapshot: Snapshot, touchedFiles: Int, untouchedFiles: Int,
-      sourceRows: Long, touchedBytes: Long = 0L)
+      sourceRows: Long, touchedBytes: Long = 0L,
+      decodedBytes: Long = 0L, coldCopiedBytes: Long = 0L,
+      fullyColdFiles: Int = 0)
 
   /** Segment-index pruning output: the touched file set plus the
     * machinery to classify individual ROWS by hit-segment membership
@@ -149,12 +151,6 @@ object Merge {
     val touched = all.filter(f => touchedPaths.contains(f.path))
     val untouched = all.filterNot(f => touchedPaths.contains(f.path))
 
-    val target =
-      if (touched.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
-      else spark.read.schema(table.schema)
-        .parquet(touched.map(f => s"${table.location}/${f.path}"): _*)
-
     // Row-level hit-segment classifier: seg(doc_id) ∈ hitSegs, via two
     // codegen'd binary searches (upper_bound counts elements <= key, so
     // membership ⇔ count(seg) > count(seg-1)). Sound for rows of
@@ -173,6 +169,37 @@ object Merge {
       if (segCount == 0) 1.0 else prune.hitSegs.length.toDouble / segCount
     val split =
       prune.bounds.nonEmpty && prune.hitSegs.nonEmpty && hotCoverage <= 0.5
+
+    // Row-GROUP-level cold copy (below the file-level prune, above the
+    // row-level classifier): each touched file's row groups carry their
+    // own doc_id bounds, so groups intersecting no hot segment carry
+    // into the new snapshot as a bytewise column-chunk copy — zero
+    // decode, zero re-encode — and only hot groups enter the join
+    // rewrite. Fully-cold files (file-level prune was over-approximate)
+    // survive untouched with zero IO. Hot extracts are temporaries,
+    // deleted after the commit.
+    val coldDir = s"data/$jobId-v${parent.version}-cold"
+    val hotxDir = s"data/$jobId-v${parent.version}-hotx"
+    val rgSplits: Seq[graft.table.RowGroupCopy.Split] =
+      if (split && touched.nonEmpty)
+        graft.table.RowGroupCopy.planAll(spark, table.location,
+          touched.map(_.path), coldDir, hotxDir, prune.bounds, prune.hitSegs)
+      else Nil
+    val byPathTouched = touched.map(f => f.path -> f).toMap
+    val fullyCold = rgSplits.filter(_.allCold).map(s => byPathTouched(s.origPath))
+    val coldFiles = rgSplits.flatMap(_.coldFile)
+    val decodeRels: Seq[String] =
+      if (split) rgSplits.flatMap(_.decodeRel)
+      else touched.map(_.path)
+    val decodedBytes =
+      if (split) rgSplits.map(_.decodeBytes).sum
+      else touched.map(_.bytes).sum
+
+    val target =
+      if (decodeRels.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
+      else spark.read.schema(table.schema)
+        .parquet(decodeRels.map(p => s"${table.location}/$p"): _*)
 
     // --- the upsert, compiled through Spark SQL ---
     // Only HOT rows (hit segments) can match; COLD rows of touched
@@ -216,19 +243,34 @@ object Merge {
       jobId, "merge", touched.map(_.path), out,
       rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
       status = "done", durationMs = 0L))
-    val manifest = table.writeManifest(untouched ++ out)
+    // Survivors: untouched + fully-cold originals (kept verbatim) +
+    // bytewise cold copies + the rewrite's output.
+    val manifest = table.writeManifest(untouched ++ fullyCold ++ coldFiles ++ out)
+    val removed = touchedPaths -- fullyCold.map(_.path)
     val snap = table.commit(Some(parent), "merge",
       addManifests = Seq(manifest), keepManifests = Nil,
-      removedPaths = touchedPaths,
+      removedPaths = removed,
       summary = Map(
         "source-rows" -> srcRows.toString,
         "touched-files" -> touched.size.toString,
         "untouched-files" -> untouched.size.toString,
-        "touched-bytes" -> touched.map(_.bytes).sum.toString))
+        "touched-bytes" -> touched.map(_.bytes).sum.toString,
+        "decoded-bytes" -> decodedBytes.toString,
+        "cold-copied-bytes" -> coldFiles.map(_.bytes).sum.toString,
+        "fully-cold-files" -> fullyCold.size.toString))
     src.unpersist()
     spark.catalog.dropTempView(tv)
     spark.catalog.dropTempView(sv)
+    // Hot extracts served only the rewrite job: drop them now (orphan GC
+    // would also collect them, but leaving temporaries to GC hides bugs).
+    if (rgSplits.exists(s => !s.allCold && s.coldFile.nonEmpty)) {
+      val hx = new org.apache.hadoop.fs.Path(s"${table.location}/$hotxDir")
+      hx.getFileSystem(spark.sessionState.newHadoopConf()).delete(hx, true)
+    }
     Result(snap, touched.size, untouched.size, srcRows,
-      touchedBytes = touched.map(_.bytes).sum)
+      touchedBytes = touched.map(_.bytes).sum,
+      decodedBytes = decodedBytes,
+      coldCopiedBytes = coldFiles.map(_.bytes).sum,
+      fullyColdFiles = fullyCold.size)
   }
 }

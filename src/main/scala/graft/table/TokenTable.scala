@@ -138,6 +138,15 @@ class TokenTable(val location: String, val spark: SparkSession) {
     val writer = out.write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .option("compression", "zstd") // reference writes ZSTD parquet (src/pipeline/mod.rs:120-122)
+      // Bounded row groups (vs parquet's 128MB default): with doc_id-
+      // sorted files, each group carries tight doc_id footer bounds, the
+      // granularity MERGE's row-group cold copy and the reader's group
+      // skipping prune at — a 512MB file gets ~32 independently
+      // prunable/copyable/splittable groups instead of 4. Session conf
+      // graft.write.rowGroupBytes overrides (tests force tiny groups).
+      .option("parquet.block.size",
+        spark.conf.getOption("graft.write.rowGroupBytes")
+          .getOrElse(TokenTable.RowGroupBytes.toString))
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(abs)
     statsFor(relDir)
@@ -318,6 +327,13 @@ class TokenTable(val location: String, val spark: SparkSession) {
 
 object TokenTable {
   import org.apache.spark.sql.types._
+
+  /** Target parquet row-group size (in-memory buffered bytes) for table
+    * data writes. 16MB balances scan efficiency (vectorized readers
+    * amortize fine at this size) against maintenance granularity: merge
+    * cold-copies and the scheduler splits at group boundaries.
+    */
+  val RowGroupBytes: Long = 16L * 1024 * 1024
 
   /** The north-star schema (BASELINE.json input_hint). */
   val tokenSchema: StructType = StructType(Seq(

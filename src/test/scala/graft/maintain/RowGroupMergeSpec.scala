@@ -1,0 +1,120 @@
+package graft.maintain
+
+import graft.SparkSpec
+import graft.ingest.TokenGen
+import graft.table.{RowGroupCopy, TokenTable}
+import org.apache.spark.sql.functions._
+
+/** MERGE's row-group-level cold copy (VERDICT r3 task 2): for a
+  * range-local update over multi-row-group files, only the row groups
+  * intersecting hot segments are decoded; the rest carry over as a
+  * bytewise column-chunk copy — and the table stays byte-exact.
+  */
+class RowGroupMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withTinyRowGroups[A](f: => A): A = {
+    spark.conf.set("graft.write.rowGroupBytes", (32 * 1024).toString)
+    try f finally spark.conf.unset("graft.write.rowGroupBytes")
+  }
+
+  test("narrow merge decodes only hot row groups; cold groups byte-copy; results exact") {
+    withTinyRowGroups {
+      val dir = tmpDir("rg_merge")
+      val t = TokenTable.create(spark, dir)
+      // One doc_id-sorted partition -> one file with MANY row groups,
+      // each a tight disjoint doc_id range.
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 6000, minLen = 32, maxLen = 64, numPartitions = 1)
+        .repartition(1).sortWithinPartitions("doc_id")))
+      val file = t.filesLocal(t.current)
+      assert(file.size == 1)
+      val conf = spark.sessionState.newHadoopConf()
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/${file.head.path}"), conf))
+      val nGroups = try footer.getFooter.getBlocks.size finally footer.close()
+      assert(nGroups >= 4, s"need multi-group file to exercise cold copy, got $nGroups")
+
+      val before = checksum(t.scan())
+      val outside = checksum(t.scan()
+        .filter($"doc_id" < f"doc_${3000}%012d" || $"doc_id" > f"doc_${3049}%012d"))
+
+      // 50 consecutive keys in the middle: hot span is a tiny slice of
+      // the file, so most row groups are provably cold.
+      val src = t.scan()
+        .filter($"doc_id" >= f"doc_${3000}%012d" && $"doc_id" <= f"doc_${3049}%012d")
+        .select($"doc_id", array_repeat(lit(9), 4).as("tokens"),
+          lit(4).as("n_tok"), $"source")
+        .withColumn("__p", monotonically_increasing_id())
+      val r = Merge.mergeInto(t, src, "__p", "rg-m1")
+
+      assert(r.touchedFiles == 1 && r.sourceRows == 50)
+      assert(r.coldCopiedBytes > 0, "cold row groups must byte-copy")
+      assert(r.decodedBytes < r.touchedBytes / 2,
+        s"rewrite must decode only hot groups: decoded ${r.decodedBytes} of ${r.touchedBytes}")
+
+      // Byte-exactness: rows outside the range identical, inside updated.
+      assert(checksum(t.scan()
+        .filter($"doc_id" < f"doc_${3000}%012d" || $"doc_id" > f"doc_${3049}%012d")) == outside)
+      val in = t.scan()
+        .filter($"doc_id" >= f"doc_${3000}%012d" && $"doc_id" <= f"doc_${3049}%012d")
+      assert(in.count() == 50 && in.filter($"n_tok" === 4).count() == 50)
+      assert(checksum(t.scan()) != before, "update must be visible")
+
+      // Hot extracts are temporaries: gone after the merge commit.
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/data/rg-m1-v${r.snapshot.parentVersion}-hotx")))
+
+      // GC: cold copies are reachable survivors; only superseded bytes go.
+      val live = checksum(t.scan())
+      val gc = Expire.run(t, retainLast = 1, graceMs = 0)
+      assert(gc.deletedFiles > 0)
+      assert(checksum(t.scan()) == live, "GC must not touch cold-copied survivors")
+    }
+  }
+
+  test("splitFile: fully-cold file is kept verbatim; fully-hot file skips the copy") {
+    withTinyRowGroups {
+      val dir = tmpDir("rg_split")
+      val t = TokenTable.create(spark, dir)
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 2000, minLen = 32, maxLen = 64, numPartitions = 1)
+        .repartition(1).sortWithinPartitions("doc_id")))
+      val f = t.filesLocal(t.current).head
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+
+      // Hot segment far above every doc_id in the file: all groups cold.
+      val coldSplit = RowGroupCopy.splitFile(f.path, dir, root,
+        "data/c", "data/h", bounds = Array("zzz_0", "zzz_9"), hitSegs = Array(1), conf)
+      assert(coldSplit.allCold && coldSplit.coldFile.isEmpty && coldSplit.decodeRel.isEmpty)
+
+      // Hot segment spanning the whole keyspace: all groups hot, decode
+      // the ORIGINAL file, no copy written.
+      val hotSplit = RowGroupCopy.splitFile(f.path, dir, root,
+        "data/c", "data/h", bounds = Array(f.minDocId, f.maxDocId),
+        hitSegs = Array(1), conf)
+      assert(!hotSplit.allCold && hotSplit.decodeRel.contains(f.path))
+      assert(hotSplit.coldFile.isEmpty && hotSplit.decodeBytes == f.bytes)
+
+      // Mid-range hot segment: mixed — cold copy + hot extract, and the
+      // two partitions' rows reassemble EXACTLY the original file.
+      val lo = f"doc_${800}%012d"; val hi = f"doc_${820}%012d"
+      val mixed = RowGroupCopy.splitFile(f.path, dir, root,
+        "data/c", "data/h", bounds = Array(lo, hi), hitSegs = Array(1), conf)
+      assert(!mixed.allCold && mixed.coldFile.nonEmpty && mixed.decodeRel.nonEmpty)
+      val reunion = spark.read.schema(t.schema)
+        .parquet(s"$dir/${mixed.coldFile.get.path}", s"$dir/${mixed.decodeRel.get}")
+      assert(checksum(reunion) == checksum(t.scan()),
+        "cold copy + hot extract must reassemble the original rows exactly")
+      // The cold copy's manifest stats must be true bounds of its rows.
+      val cf = mixed.coldFile.get
+      val coldRows = spark.read.schema(t.schema).parquet(s"$dir/${cf.path}")
+      val mm = coldRows.agg(min($"doc_id"), max($"doc_id"), count(lit(1)),
+        sum($"n_tok".cast("long"))).head()
+      assert(mm.getString(0) == cf.minDocId && mm.getString(1) == cf.maxDocId)
+      assert(mm.getLong(2) == cf.rows && mm.getLong(3) == cf.sumNtok)
+    }
+  }
+}
