@@ -29,16 +29,26 @@ case class PartitionCursor(lastOffset: Long)
   */
 /** Inline-maintenance policy for continuous ingest: after each
   * micro-batch commit, compact when the live snapshot holds at least
-  * `maxSmallFiles` files under `smallFileBytes`. Streaming ingest is
-  * exactly the workload that grows a small-file swamp (the north-star
-  * problem statement) — a table that is continuously written must also
-  * be continuously maintained, or scans degrade linearly in commit
-  * count.
+  * `maxSmallFiles` files under `smallFileBytes`, and expire old
+  * snapshots when the live version count reaches `maxLiveVersions`.
+  * Streaming ingest is exactly the workload that grows a small-file
+  * swamp AND a snapshot swamp (one version per micro-batch, plus the
+  * orphaned pre-compaction files each auto-compaction supersedes) — a
+  * table that is continuously written must also be continuously
+  * maintained, or scans degrade linearly in commit count and storage
+  * grows without bound.
+  *
+  * `gcGraceMs` mirrors [[graft.maintain.Expire.run]]'s grace window:
+  * unreachable files younger than it are kept — they may belong to a
+  * concurrent not-yet-committed external writer.
   */
 case class MaintenancePolicy(
     smallFileBytes: Long = 16L * 1024 * 1024,
     maxSmallFiles: Int = 16,
-    targetBytes: Long = 128L * 1024 * 1024)
+    targetBytes: Long = 128L * 1024 * 1024,
+    maxLiveVersions: Int = 64,
+    retainVersions: Int = 2,
+    gcGraceMs: Long = 3600L * 1000)
 
 object StreamingIngest {
 
@@ -63,7 +73,10 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[RawMessage], batchId: Long) =>
         Ingest.ingestBatch(table, batch, deadLetterDir)
-        maintenance.foreach(p => maybeCompact(table, p, s"auto-compact-$batchId"))
+        maintenance.foreach { p =>
+          maybeCompact(table, p, s"auto-compact-$batchId")
+          maybeExpire(table, p)
+        }
         ()
       }
       .start()
@@ -85,6 +98,23 @@ object StreamingIngest {
       catch {
         case _: graft.table.CommitConflictException => None // re-plan next batch
       }
+  }
+
+  /** Threshold-gated snapshot expiry + orphan GC for [[start]]'s inline
+    * maintenance. The gate is ONE metadata-dir listing (O(#versions)
+    * names, no data IO); when the live version count reaches the policy
+    * ceiling, all but `retainVersions` snapshots expire and unreachable
+    * files older than the grace window are collected — so a stream that
+    * runs for months keeps bounded metadata and storage, not one
+    * snapshot per micro-batch forever. Serialized with ingest inside
+    * foreachBatch; a CAS race is impossible here (expiry commits no
+    * snapshot), and reachability math protects any retained reader.
+    */
+  def maybeExpire(table: TokenTable, policy: MaintenancePolicy)
+      : Option[graft.maintain.Expire.Result] = {
+    if (graft.table.Format.liveVersionCount(table.location) < policy.maxLiveVersions)
+      None
+    else Some(graft.maintain.Expire.run(table, policy.retainVersions, policy.gcGraceMs))
   }
 
   /** Event-time streaming dedup (the watermark-bounded analog of D1 for

@@ -89,6 +89,18 @@ object Format {
     } finally st.close()
   }
 
+  /** Number of live (non-expired) snapshot JSONs — one metadata-dir
+    * listing; the cheap gate streaming inline expiry checks per batch.
+    */
+  def liveVersionCount(tableDir: String): Int = {
+    val md = Paths.get(tableDir, Metadata)
+    if (!Files.isDirectory(md)) return 0
+    val st = Files.list(md)
+    try st.iterator().asScala.count(p =>
+      VersionRe.matches(p.getFileName.toString))
+    finally st.close()
+  }
+
   def readSnapshot(tableDir: String, v: Long): Snapshot =
     fromJson(Files.readString(versionFile(tableDir, v)))
 

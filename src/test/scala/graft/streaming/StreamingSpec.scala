@@ -118,6 +118,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("inline maintenance: expiry bounds live versions and files over a long swamp") {
+    val dir = tmpDir("stream-expire")
+    val t = TokenTable.create(spark, dir)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[RawMessage]
+    // Aggressive policy: compact at 4 small files, expire at 6 live
+    // versions, zero grace (no concurrent writers in the test).
+    val q = StreamingIngest.start(t, source.toDS(), tmpDir("ckpt-expire"),
+      Trigger.ProcessingTime(0L),
+      maintenance = Some(MaintenancePolicy(
+        smallFileBytes = 1L << 20, maxSmallFiles = 4, targetBytes = 8L << 20,
+        maxLiveVersions = 6, retainVersions = 2, gcGraceMs = 0L)))
+    try {
+      (0 until 12).foreach { b =>
+        source.addData(msgs(b * 20, b * 20 + 20): _*)
+        q.processAllAvailable()
+      }
+      // 12 ingest commits + compactions would leave 15+ versions and
+      // every superseded pre-compaction file without expiry.
+      val live = graft.table.Format.liveVersionCount(dir)
+      assert(live <= 6 + 3, s"live version count must stay bounded, got $live")
+      val onDisk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+      val dataFiles =
+        try {
+          import scala.jdk.CollectionConverters._
+          onDisk.iterator().asScala.count(p =>
+            p.getFileName.toString.endsWith(".parquet"))
+        } finally onDisk.close()
+      val referenced = t.filesLocal(t.current).size
+      assert(dataFiles <= referenced + 4,
+        s"orphaned pre-compaction files must be GC'd: $dataFiles on disk, $referenced referenced")
+      // Rows exact through compaction + expiry.
+      assert(t.scan().count() == 240)
+      assert(t.scan().select("doc_id").distinct().count() == 240)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark dedups a keyed event stream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[(java.sql.Timestamp, String, Int)]
