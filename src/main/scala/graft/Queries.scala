@@ -56,8 +56,10 @@ object Queries {
     * Deterministic location per (name, dir); wiped on entry so queries
     * are idempotent across Verify/Bench runs.
     */
-  def buildTable(spark: SparkSession, dir: String, name: String,
-      commits: Int): TokenTable = {
+  /** Deterministic per-(name, dir) scratch location, wiped on entry so
+    * queries are idempotent across Verify/Bench runs.
+    */
+  def freshQueryDir(name: String, dir: String): String = {
     val loc = s"${System.getProperty("java.io.tmpdir")}/graft_q/${name}_" +
       math.abs(dir.hashCode).toString
     val p = Paths.get(loc)
@@ -67,6 +69,12 @@ object Queries {
       try st.iterator().asScala.foreach(Files.deleteIfExists(_))
       finally st.close()
     }
+    loc
+  }
+
+  def buildTable(spark: SparkSession, dir: String, name: String,
+      commits: Int): TokenTable = {
+    val loc = freshQueryDir(name, dir)
     val t = TokenTable.create(spark, loc)
     val rows = tokenizedDocs(spark, dir)
       .withColumn("__c", pmod(xxhash64(col("doc_id")), lit(commits.toLong)))
@@ -175,6 +183,60 @@ object Queries {
       .ofRows(spark, plans.TokenTableResolution(spark)(parsed)).collect()
     require(t.currentVersion > vBefore, "SQL MERGE must commit a snapshot")
     scanProjection(t.scan())
+  }
+
+  /** The FULL catalog surface end-to-end (DSv2 [[graft.sql.GraftCatalog]],
+    * SURVEY.md §4.2's last SQL gap): the table is created and populated
+    * by PLAIN SQL through the registered catalog — `CREATE TABLE` then
+    * two `INSERT INTO ... SELECT` commits (each one atomic snapshot) —
+    * time-traveled with `VERSION AS OF`, upserted with the same MERGE as
+    * m6, and read back by a catalog `SELECT`. Oracle: identical
+    * post-merge state to m6 ([[m6MergeSql]]).
+    */
+  def m8CatalogSqlScan(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    val loc = freshQueryDir("m8cat", dir)
+    spark.sql(s"CREATE TABLE graft.`$loc` (doc_id STRING NOT NULL, " +
+      "tokens ARRAY<INT> NOT NULL, n_tok INT NOT NULL, source STRING NOT NULL)")
+    tokenizedDocs(spark, dir).createOrReplaceTempView("graft_m8_docs")
+    spark.sql(s"INSERT INTO graft.`$loc` " +
+      "SELECT * FROM graft_m8_docs WHERE pmod(xxhash64(doc_id), 2) = 0")
+    val v1 = TokenTable.open(spark, loc).currentVersion
+    spark.sql(s"INSERT INTO graft.`$loc` " +
+      "SELECT * FROM graft_m8_docs WHERE pmod(xxhash64(doc_id), 2) = 1")
+    val n1 = spark.sql(s"SELECT count(*) FROM graft.`$loc` VERSION AS OF $v1")
+      .head().getLong(0)
+    val nAll = spark.sql(s"SELECT count(*) FROM graft.`$loc`").head().getLong(0)
+    require(n1 > 0 && n1 < nAll, "VERSION AS OF must see only the first INSERT")
+
+    // The m6 updates/inserts through MERGE SQL (manual rule application;
+    // GraftCatalogSpec covers the injected-extensions path).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val updates = docs.filter(col("doc_id") % 7 === 0).select(
+      format_string("doc_%012d", col("doc_id")).as("doc_id"),
+      array(pmod(col("n_chars"), lit(50)).cast("int"), lit(1), lit(2)).as("tokens"),
+      lit(3).as("n_tok"),
+      col("source"))
+    val inserts = tokenizedDocs(spark, dir)
+      .filter(expr("CAST(substring(doc_id, 5) AS BIGINT) % 13 = 0"))
+      .withColumn("doc_id",
+        format_string("doc_%012d", expr("CAST(substring(doc_id, 5) AS BIGINT) + 1000000")))
+    updates.unionByName(inserts).createOrReplaceTempView("graft_m8_src")
+    val mergeSql =
+      s"""MERGE INTO graft.`$loc` AS t
+         |USING graft_m8_src AS s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    val parsed = spark.sessionState.sqlParser.parsePlan(mergeSql)
+    org.apache.spark.sql.GraftSqlBridge
+      .ofRows(spark, plans.TokenTableResolution(spark)(parsed)).collect()
+
+    // Final state read back through the catalog, not the API.
+    spark.sql(
+      s"""SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+         |       aggregate(tokens, CAST(0 AS BIGINT), (a, x) -> a + x) AS tok_sum
+         |FROM graft.`$loc`""".stripMargin)
   }
 
   def m2DocIdClusterScan(spark: SparkSession, dir: String): DataFrame = {

@@ -24,6 +24,7 @@ object SparkEntry {
     "m2_hilbert_scan" -> ((s, d) => Queries.m2HilbertScan(s, d)),
     "m6_merge_scan" -> ((s, d) => Queries.m6MergeScan(s, d)),
     "m6_merge_sql_scan" -> ((s, d) => Queries.m6MergeSqlScan(s, d)),
+    "m8_catalog_sql_scan" -> ((s, d) => Queries.m8CatalogSqlScan(s, d)),
     "m4_expire_scan" -> ((s, d) => Queries.m4ExpireScan(s, d)),
     "m5_timetravel_scan" -> ((s, d) => Queries.m5TimeTravelScan(s, d)),
     "m2_docid_cluster_scan" -> ((s, d) => Queries.m2DocIdClusterScan(s, d)),
@@ -74,6 +75,7 @@ object SparkEntry {
     "m2_hilbert_scan" -> Queries.tokenizedDocsSql,
     "m6_merge_scan" -> Queries.m6MergeSql,
     "m6_merge_sql_scan" -> Queries.m6MergeSql, // same post-merge state via SQL text
+    "m8_catalog_sql_scan" -> Queries.m6MergeSql, // same state, built via DSv2 catalog SQL
     "m4_expire_scan" -> Queries.tokenizedDocsSql,
     "m5_timetravel_scan" -> Queries.tokenizedDocsSql,
     "m2_docid_cluster_scan" -> Queries.tokenizedDocsSql,

@@ -28,14 +28,42 @@ object Compact {
     * Deterministic: candidates sorted by (bytes desc, path).
     */
   def planBins(files: Seq[DataFile], targetBytes: Long,
-      smallFileFactor: Double = 0.75): Seq[Seq[DataFile]] = {
+      smallFileFactor: Double = 0.75): Seq[Seq[DataFile]] =
+    ffd(files.filter(_.bytes < (targetBytes * smallFileFactor).toLong),
+      targetBytes)
+
+  /** STREAMING planner: one bounded-memory pass over the manifest-row
+    * iterator. Driver memory is O(maxCandidates), never O(#files): a
+    * bounded heap keeps the SMALLEST `maxCandidates` small-file
+    * candidates (smallest first is the right compaction priority — they
+    * cost the most per byte to scan), so a 10^7-file snapshot plans in
+    * one pass holding ~10^5 rows. Size-tiered compaction is incremental
+    * by nature; files dropped by the cap are simply next run's work.
+    * Returns (bins, total file count seen).
+    */
+  def planBinsStreaming(files: Iterator[DataFile], targetBytes: Long,
+      smallFileFactor: Double = 0.75,
+      maxCandidates: Int = 1 << 17): (Seq[Seq[DataFile]], Long) = {
     val threshold = (targetBytes * smallFileFactor).toLong
-    val candidates = files
-      .filter(_.bytes < threshold)
-      .sortBy(f => (-f.bytes, f.path))
+    // Max-heap by (bytes, path): the largest kept candidate evicts first.
+    val heap = scala.collection.mutable.PriorityQueue.empty[DataFile](
+      Ordering.by((f: DataFile) => (f.bytes, f.path)))
+    var total = 0L
+    files.foreach { f =>
+      total += 1
+      if (f.bytes < threshold) {
+        heap += f
+        if (heap.size > maxCandidates) heap.dequeue()
+      }
+    }
+    (ffd(heap.dequeueAll.toSeq, targetBytes), total)
+  }
+
+  private def ffd(candidates: Seq[DataFile], targetBytes: Long): Seq[Seq[DataFile]] = {
+    val sorted = candidates.sortBy(f => (-f.bytes, f.path))
     val bins = scala.collection.mutable.ArrayBuffer.empty[
       (scala.collection.mutable.ArrayBuffer[DataFile], Long)]
-    candidates.foreach { f =>
+    sorted.foreach { f =>
       bins.indexWhere { case (_, used) => used + f.bytes <= targetBytes } match {
         case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), f.bytes))
         case i  => val (b, used) = bins(i); b += f; bins(i) = (b, used + f.bytes)
@@ -66,17 +94,21 @@ object Compact {
     // dir would overwrite files the current snapshot references). A
     // crash BEFORE the commit re-runs at the same version and resumes.
     val execId = s"$jobId-v${parent.version}"
-    val all = table.filesLocal(parent)
-    val planned = planBins(all, targetBytes)
+    // Streamed, bounded-memory planning: the driver never materializes
+    // the full inventory (VERDICT r3 task 4) — only the capped candidate
+    // set survives the pass.
+    val (planned, totalFiles) =
+      planBinsStreaming(table.filesStream(parent), targetBytes)
     val plan = Lineage.planOrResume(table, Lineage.JobPlan(
       execId, "compact", parent.version,
       planned.zipWithIndex.map { case (b, i) => i.toString -> b.map(_.path) }.toMap))
-    // Resume against the *persisted* plan (stable task identity).
-    val byPath = all.map(f => f.path -> f).toMap
+    // Resume against the *persisted* plan (stable task identity); the
+    // deterministic stream re-yields the same candidates at a version.
+    val byPath = planned.flatten.map(f => f.path -> f).toMap
     val tasks = plan.tasks.toSeq.sortBy(_._1.toInt)
 
     if (tasks.isEmpty)
-      return Result(parent, 0, all.size, all.size, 0L, 0, execId)
+      return Result(parent, 0, totalFiles.toInt, totalFiles.toInt, 0L, 0, execId)
 
     var resumed = 0
     // Memory-aware concurrency clamp: one bin task transiently holds the
@@ -121,10 +153,11 @@ object Compact {
       finally pool.shutdown()
 
     val rewrittenPaths = tasks.flatMap(_._2).toSet
-    val survivors = all.filterNot(f => rewrittenPaths.contains(f.path))
     val newFiles = outputs.flatten
     beforeCommit()
-    val manifest = table.writeManifest(survivors ++ newFiles)
+    // Survivor manifest without materializing survivors on the driver:
+    // streams below the threshold, distributed anti-join above it.
+    val manifest = table.writeSurvivorManifest(parent, rewrittenPaths, newFiles)
     val snap = table.commit(
       Some(parent), "compact",
       addManifests = Seq(manifest), keepManifests = Nil,
@@ -135,7 +168,8 @@ object Compact {
         "files-out" -> newFiles.size.toString,
         "resumed-tasks" -> resumed.toString,
         "bytes-in" -> rewrittenPaths.iterator.map(p => byPath.get(p).map(_.bytes).getOrElse(0L)).sum.toString))
-    Result(snap, tasks.size, all.size, survivors.size + newFiles.size,
+    Result(snap, tasks.size, totalFiles.toInt,
+      (totalFiles - rewrittenPaths.size + newFiles.size).toInt,
       rewrittenPaths.iterator.map(p => byPath.get(p).map(_.bytes).getOrElse(0L)).sum,
       resumed, execId)
   }

@@ -88,14 +88,62 @@ object Merge {
   def pruneTouchedFull(files: Seq[DataFile], srcKeys: DataFrame): Prune = {
     val spark = srcKeys.sparkSession
     import spark.implicits._
-    if (files.isEmpty) return Prune(Set.empty, Array.empty, Array.empty)
-    // Files without doc_id stats can never be pruned.
-    val (statted, unstatted) =
-      files.partition(f => f.minDocId != null && f.maxDocId != null)
-    val fileBounds: Array[String] = statted.flatMap(f => Seq(f.minDocId, f.maxDocId))
-      .distinct.sorted(Search.utf8Ordering).toArray
-    if (fileBounds.isEmpty)
-      return Prune(unstatted.map(_.path).toSet, Array.empty, Array.empty)
+    planPrune(() => files.iterator, srcKeys,
+      () => spark.createDataset(files)).prune
+  }
+
+  /** Pruning output plus what [[mergeInto]] plans with: the touched
+    * DataFiles (driver memory tracks the TOUCHED count, not the file
+    * count) and the total inventory size.
+    */
+  case class PrunePlan(prune: Prune, touched: Seq[DataFile], totalFiles: Long)
+
+  /** Endpoint-array cap: above this many distinct file endpoints the
+    * exact driver-side endpoint collection switches to a distributed
+    * every-k-th coarsening — a SUBSET of true endpoints is still a valid
+    * (coarser) partition of the keyspace, so pruning stays sound and
+    * merely over-approximates between kept endpoints.
+    */
+  val DefaultBoundsCap: Int = 1 << 17
+
+  /** Streaming, bounded-memory segment-index construction (VERDICT r3
+    * task 4): two driver passes over the manifest-row ITERATOR (never a
+    * materialized Seq), holding at most `boundsCap` endpoints plus the
+    * touched files. `filesDS` is consulted only on endpoint overflow,
+    * where coarsening runs as Spark jobs.
+    */
+  def planPrune(filesIt: () => Iterator[DataFile], srcKeys: DataFrame,
+      filesDS: () => org.apache.spark.sql.Dataset[DataFile],
+      boundsCap: Int = DefaultBoundsCap): PrunePlan = {
+    val spark = srcKeys.sparkSession
+    import spark.implicits._
+    // Pass 1: endpoints (bounded) + inventory count.
+    val epb = scala.collection.mutable.ArrayBuffer.empty[String]
+    var overflow = false
+    var anyStatted = false
+    var total = 0L
+    val it = filesIt()
+    while (it.hasNext) {
+      val f = it.next(); total += 1
+      if (f.minDocId != null && f.maxDocId != null) {
+        anyStatted = true
+        if (!overflow) {
+          epb += f.minDocId; epb += f.maxDocId
+          if (epb.length > 2 * boundsCap) { overflow = true; epb.clear() }
+        }
+      }
+    }
+    if (total == 0L)
+      return PrunePlan(Prune(Set.empty, Array.empty, Array.empty), Nil, 0L)
+    if (!anyStatted) {
+      // No stats anywhere: every file is touched (never prunable).
+      val all = filesIt().toSeq
+      return PrunePlan(Prune(all.map(_.path).toSet, Array.empty, Array.empty),
+        all, total)
+    }
+    val fileBounds: Array[String] =
+      if (!overflow) epb.distinct.sorted(Search.utf8Ordering).toArray
+      else coarseEndpoints(filesDS(), boundsCap)
     // Per-segment source-key extents: ONE aggregation, output bounded by
     // the segment count.
     val segExtents: Array[(Int, String, String)] = srcKeys
@@ -125,12 +173,38 @@ object Merge {
       while (a < b) { val m = (a + b) >>> 1; if (hitSegs(m) < lo) a = m + 1 else b = m }
       a < hitSegs.length && hitSegs(a) <= hi
     }
-    val touched = statted.filter { f =>
-      anyHitIn(
-        Search.upperBoundUtf8(u8, UTF8String.fromString(f.minDocId)),
-        Search.upperBoundUtf8(u8, UTF8String.fromString(f.maxDocId)))
+    // Pass 2: touched selection — files without stats can never be
+    // pruned; statted files keep iff a hot segment intersects them.
+    val touched = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+    filesIt().foreach { f =>
+      val keep =
+        if (f.minDocId == null || f.maxDocId == null) true
+        else anyHitIn(
+          Search.upperBoundUtf8(u8, UTF8String.fromString(f.minDocId)),
+          Search.upperBoundUtf8(u8, UTF8String.fromString(f.maxDocId)))
+      if (keep) touched += f
     }
-    Prune((touched ++ unstatted).map(_.path).toSet, bounds, hitSegs)
+    PrunePlan(Prune(touched.map(_.path).toSet, bounds, hitSegs),
+      touched.toSeq, total)
+  }
+
+  /** Distributed endpoint coarsening: every k-th of the distinct sorted
+    * endpoints (Spark's string sort IS UTF8 binary order), k sized so at
+    * most `cap` survive. Runs only when the exact endpoint set would
+    * not fit the driver budget.
+    */
+  private def coarseEndpoints(files: org.apache.spark.sql.Dataset[DataFile],
+      cap: Int): Array[String] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val eps = files.toDF()
+      .select(explode(array(col("minDocId"), col("maxDocId"))).as("e"))
+      .where(col("e").isNotNull)
+      .distinct().sort("e").as[String]
+    val n = eps.count()
+    val k = math.max(1L, math.ceil(n.toDouble / cap).toLong)
+    eps.rdd.zipWithIndex().filter(_._2 % k == 0).map(_._1).collect()
+      .sorted(Search.utf8Ordering)
   }
 
   def mergeInto(table: TokenTable, source: DataFrame,
@@ -138,18 +212,20 @@ object Merge {
     val spark = table.spark
     import spark.implicits._
     val parent = table.current
-    val all = table.filesLocal(parent)
 
     val src = dedupFirstWins(source, precedenceCol)
       .select("doc_id", "tokens", "n_tok", "source")
       .cache()
     val srcRows = src.count()
 
-    val prune = pruneTouchedFull(all, src.select($"doc_id"))
+    // Streamed planning: the driver holds the endpoint array (capped)
+    // and the TOUCHED files — never the full inventory.
+    val plan = planPrune(() => table.filesStream(parent),
+      src.select($"doc_id"), () => table.files(parent))
+    val prune = plan.prune
     val touchedPaths = prune.touchedPaths
-
-    val touched = all.filter(f => touchedPaths.contains(f.path))
-    val untouched = all.filterNot(f => touchedPaths.contains(f.path))
+    val touched = plan.touched
+    val untouchedCount = plan.totalFiles - touched.size
 
     // Row-level hit-segment classifier: seg(doc_id) ∈ hitSegs, via two
     // codegen'd binary searches (upper_bound counts elements <= key, so
@@ -243,17 +319,18 @@ object Merge {
       jobId, "merge", touched.map(_.path), out,
       rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
       status = "done", durationMs = 0L))
-    // Survivors: untouched + fully-cold originals (kept verbatim) +
-    // bytewise cold copies + the rewrite's output.
-    val manifest = table.writeManifest(untouched ++ fullyCold ++ coldFiles ++ out)
+    // Survivors = all - removed (untouched + fully-cold originals kept
+    // verbatim), plus bytewise cold copies and the rewrite's output —
+    // written without materializing the survivor list on the driver.
     val removed = touchedPaths -- fullyCold.map(_.path)
+    val manifest = table.writeSurvivorManifest(parent, removed, coldFiles ++ out)
     val snap = table.commit(Some(parent), "merge",
       addManifests = Seq(manifest), keepManifests = Nil,
       removedPaths = removed,
       summary = Map(
         "source-rows" -> srcRows.toString,
         "touched-files" -> touched.size.toString,
-        "untouched-files" -> untouched.size.toString,
+        "untouched-files" -> untouchedCount.toString,
         "touched-bytes" -> touched.map(_.bytes).sum.toString,
         "decoded-bytes" -> decodedBytes.toString,
         "cold-copied-bytes" -> coldFiles.map(_.bytes).sum.toString,
@@ -267,7 +344,7 @@ object Merge {
       val hx = new org.apache.hadoop.fs.Path(s"${table.location}/$hotxDir")
       hx.getFileSystem(spark.sessionState.newHadoopConf()).delete(hx, true)
     }
-    Result(snap, touched.size, untouched.size, srcRows,
+    Result(snap, touched.size, untouchedCount.toInt, srcRows,
       touchedBytes = touched.map(_.bytes).sum,
       decodedBytes = decodedBytes,
       coldCopiedBytes = coldFiles.map(_.bytes).sum,

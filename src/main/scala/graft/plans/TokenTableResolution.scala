@@ -29,6 +29,13 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       stripAlias(m.targetTable) match {
         case UnresolvedRelation(Seq(ns, path), _, _) if ns == "graft" && TokenTable.exists(path) =>
           convertMerge(m, path)
+        // A session with the graft DSv2 catalog registered resolves the
+        // target through the catalog before this rule sees it — accept
+        // the catalog-resolved relation too, so MERGE works with catalog
+        // + extensions without SupportsRowLevelOperations machinery.
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+            if r.table.isInstanceOf[graft.sql.GraftTable] =>
+          convertMerge(m, r.table.asInstanceOf[graft.sql.GraftTable].location)
         case _ => m
       }
     case UnresolvedRelation(Seq(ns, path), _, _) if isGraft(ns) && TokenTable.exists(path) =>
@@ -53,17 +60,43 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       throw new UnsupportedOperationException(
         s"MERGE INTO graft.`$path`: $reason (supported form: ON t.doc_id = " +
           "s.doc_id WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *)")
+    // Attributes may arrive unresolved (manual rule application on the
+    // parsed plan) or resolved (an analyzer pass in a catalog session
+    // resolved references — and expanded star actions — before this
+    // extension rule ran). Accept both spellings of the same shape.
+    def attrName(e: org.apache.spark.sql.catalyst.expressions.Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => Some(a.name)
+      // Star expansion wraps values for non-null targets / type coercion.
+      case org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(child, _) =>
+        attrName(child)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => attrName(c.child)
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => attrName(a.child)
+      case _ => None
+    }
+    // Star-expanded assignments are `t.col = s.col` per column, names
+    // pairwise equal — semantically SET *.
+    def isStarAssignments(as: Seq[org.apache.spark.sql.catalyst.plans.logical.Assignment]): Boolean =
+      as.nonEmpty && as.forall(a =>
+        (attrName(a.key), attrName(a.value)) match {
+          case (Some(k), Some(v)) => k == v
+          case _ => false
+        })
     m.mergeCondition match {
-      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
-        if l.nameParts.last == "doc_id" && r.nameParts.last == "doc_id" => ()
+      case EqualTo(l, r)
+        if attrName(l).contains("doc_id") && attrName(r).contains("doc_id") => ()
       case other => bad(s"unsupported merge condition $other")
     }
     m.matchedActions match {
       case Seq(UpdateStarAction(None)) => ()
+      case Seq(org.apache.spark.sql.catalyst.plans.logical.UpdateAction(None, as, _))
+        if isStarAssignments(as) => ()
       case other => bad(s"unsupported matched actions $other")
     }
     m.notMatchedActions match {
       case Seq(InsertStarAction(None)) => ()
+      case Seq(org.apache.spark.sql.catalyst.plans.logical.InsertAction(None, as))
+        if isStarAssignments(as) => ()
       case other => bad(s"unsupported not-matched actions $other")
     }
     if (m.notMatchedBySourceActions.nonEmpty)

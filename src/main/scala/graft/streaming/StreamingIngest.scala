@@ -90,7 +90,8 @@ object StreamingIngest {
     */
   def maybeCompact(table: TokenTable, policy: MaintenancePolicy,
       jobId: String): Option[graft.maintain.Compact.Result] = {
-    val small = table.filesLocal(table.current)
+    // Streamed count — O(1) driver memory per batch even on a huge table.
+    val small = table.filesStream(table.current)
       .count(_.bytes < policy.smallFileBytes)
     if (small < policy.maxSmallFiles) None
     else

@@ -35,11 +35,53 @@ class TokenTable(val location: String, val spark: SparkSession) {
         .parquet(s.manifests.map(m => s"$location/$m"): _*)
         .as[DataFile]
 
-  /** Driver-side file list for planning (bin packing, pruning). At true
-    * 10^12 scale planning would shard per manifest; single collect is
-    * correct for the sandbox and bounded by #files, not #rows.
+  /** Driver-side file list for planning tools (audits, bench sizing).
+    * Maintenance jobs should use [[filesStream]] / [[writeSurvivorManifest]]
+    * instead — this materializes the full inventory.
     */
   def filesLocal(s: Snapshot): Seq[DataFile] = files(s).collect().toSeq
+
+  /** STREAM the snapshot's manifest rows on the driver, one row at a
+    * time ([[Manifests.readLocal]]) — O(1) memory regardless of file
+    * count. This is how maintenance planning walks the inventory: a
+    * 10^7-file snapshot streams through a bounded-memory pass instead of
+    * materializing a 10^7-element Seq.
+    */
+  def filesStream(s: Snapshot): Iterator[DataFile] = {
+    val conf = spark.sessionState.newHadoopConf()
+    s.manifests.iterator.flatMap(m => Manifests.readLocal(s"$location/$m", conf))
+  }
+
+  /** Row count above which survivor-manifest writes run distributed. */
+  val ManifestDistributeThreshold: Long = 65536L
+
+  /** Write the manifest for a rewrite commit: the parent's files minus
+    * `removedPaths`, plus `extra`. Driver memory is bounded by
+    * max(|removedPaths|, |extra|, threshold): small inventories stream
+    * driver-side; above [[ManifestDistributeThreshold]] the survivor
+    * filter runs as a distributed anti-join and the manifest is written
+    * by executors — the driver never holds the survivor list.
+    */
+  def writeSurvivorManifest(parent: Snapshot, removedPaths: Set[String],
+      extra: Seq[DataFile]): String = {
+    // Counting pass (drained fully — readLocal closes at exhaustion);
+    // O(1) memory, O(#files) metadata CPU.
+    var n = 0L
+    val it = filesStream(parent)
+    while (it.hasNext) { it.next(); n += 1 }
+    if (n <= ManifestDistributeThreshold) {
+      val survivors = filesStream(parent)
+        .filterNot(f => removedPaths.contains(f.path)).toSeq
+      writeManifest(survivors ++ extra)
+    } else {
+      import spark.implicits._
+      val removedDS = spark.createDataset(removedPaths.toSeq).toDF("path")
+      val survivors = files(parent)
+        .join(removedDS, Seq("path"), "left_anti")
+        .as[DataFile]
+      writeManifestDS(survivors.unionByName(spark.createDataset(extra)))
+    }
+  }
 
   /** Full-table scan of the current snapshot (north-star M5 — the
     * headline tokens/sec metric reads this).
