@@ -36,12 +36,16 @@ object Bench {
     // named graft_bench / graft-spark-local UNDER whatever the env names
     // (ADVICE r3): pointing SPARK_GRAFT_BENCH_DIR at /tmp or a shared
     // volume must never recursively delete that directory's own contents.
-    val benchBase = sys.env.get("SPARK_GRAFT_BENCH_DIR")
+    val benchRoot = sys.env.get("SPARK_GRAFT_BENCH_DIR")
       .map(d => s"${d.stripSuffix("/")}/graft_bench")
       .getOrElse(
         if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
           "/dev/shm/graft_bench"
         else s"${System.getProperty("java.io.tmpdir")}/graft_bench")
+    // Config-scoped scratch: concurrent benches at DIFFERENT configs
+    // (e.g. a 24M scaling run and a 400k smoke) must not wipe each
+    // other's live tables out from under them.
+    val benchBase = s"$benchRoot/run_${benchRows}_$cpus"
     // Wipe the whole OWNED base (stale tables from other widths plus
     // spark-local shuffle dirs that a killed JVM never cleaned): on
     // tmpfs these pages are RAM, and tens of leftover GB plus the live
@@ -197,12 +201,18 @@ object Bench {
       val runs = phaseRuns(p)
       s""""$p":{"median":${median(runs)},"min":${runs.min},"runs":[${runs.mkString(",")}]}"""
     }.mkString("{", ",", "}")
+    // Which BASELINE.md row this artifact compares against (VERDICT r3
+    // task 7): keyed by the workload config, so a 6M/32-cpu driver run
+    // is never read against the 24M scaling table or vice versa.
+    val baselineRow =
+      s"BASELINE.md 'Current (round 4)' row rows=$benchRows cpus=$cpus"
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","cpus":$cpus,"bench_rows":$benchRows,"reps":$reps,"tokens":$tokens""" +
         s""","scan_tokens_per_sec":${scanTps.toLong}""" +
         s""","compact_gb_per_sec":${f"$compactGbps%.4f"}""" +
         s""","compact_bytes_in":$compactBytesIn""" +
+        s""","baseline_row":"$baselineRow"""" +
         s""","phase_stats":$stats}""")
     spark.stop()
   }

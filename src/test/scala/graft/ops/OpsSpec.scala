@@ -86,6 +86,32 @@ class OpsSpec extends SparkSpec {
       s"k-means centroids lost recall: trained=$trained < hash-pick=$untrained")
   }
 
+  test("IVF at adaptiveCentroids(1e5) ~ sqrt(N) cells keeps recall on a 10^5-vector corpus") {
+    // Synthetic clustered corpus: 10^5 vectors in 300 natural clusters
+    // (center by hash, small per-vector jitter), dim 16 — the regime the
+    // sqrt(N) rule of thumb targets (VERDICT r3 stretch task). All
+    // deterministic column expressions, no local RNG.
+    import org.apache.spark.sql.functions._
+    val n = 100000L
+    val emb = spark.range(n).select(
+      $"id".as("vec_id"),
+      transform(sequence(lit(0), lit(15)), d =>
+        (pmod(xxhash64(pmod(xxhash64($"id"), lit(300L)), d), lit(200L)) - 100L +
+          pmod(xxhash64($"id", d), lit(11L)) - 5L).cast("float")
+      ).as("embedding"))
+    val c = Similarity.adaptiveCentroids(n)
+    assert(c >= 300 && c <= 320, s"sqrt rule: got $c")
+    val exact = Similarity.bruteForceTopK(emb, nQueries = 5, k = 10)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, nQueries = 5, k = 10,
+      nCentroids = c, nProbe = 8, lloydIters = 1, sampleMod = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 8 of ~316 cells probed = ~2.5% of the corpus scanned; clustered
+    // neighbors must concentrate: recall far above the scan rate.
+    assert(recall >= 0.5, s"IVF recall $recall at C=$c, nProbe=8 (scan rate ~2.5%)")
+  }
+
   test("multimodal: frame sampling and resize preserve byte-level invariants") {
     val media = Multimodal.mediaTable(spark, dir)
     val frames = Multimodal.sampleFrames(media, frameSize = 32, stride = 2).collect()
