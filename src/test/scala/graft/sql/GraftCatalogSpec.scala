@@ -76,6 +76,41 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF resolves the latest snapshot at or before the timestamp") {
+    withCatalog {
+      val loc = tmpDir("cat_ts")
+      spark.sql(s"CREATE TABLE graft.`$loc` $ddlCols")
+      TokenGen.asTokenRows(TokenGen.generate(spark, 40, numPartitions = 1))
+        .createOrReplaceTempView("cat_ts_a")
+      spark.sql(s"INSERT INTO graft.`$loc` SELECT * FROM cat_ts_a")
+      val t = TokenTable.open(spark, loc)
+      val ts1 = t.current.timestampMs
+      Thread.sleep(5) // ensure the next commit lands strictly later
+      TokenGen.asTokenRows(TokenGen.generate(spark, 25, idOffset = 500, numPartitions = 1))
+        .createOrReplaceTempView("cat_ts_b")
+      spark.sql(s"INSERT INTO graft.`$loc` SELECT * FROM cat_ts_b")
+      val atFirst = spark.sql(
+        s"SELECT * FROM graft.`$loc` TIMESTAMP AS OF " +
+          s"timestamp_millis(${ts1})").count()
+      assert(atFirst == 40, s"expected the first commit's 40 rows, got $atFirst")
+      assert(spark.sql(s"SELECT * FROM graft.`$loc`").count() == 65)
+    }
+  }
+
+  test("filter translation: pushable shapes translate, unknown shapes stay unpushed") {
+    import org.apache.spark.sql.sources._
+    def ok(f: Filter) = GraftScanBuilder.toColumn(f).isDefined
+    assert(ok(EqualTo("doc_id", "x")))
+    assert(ok(GreaterThan("n_tok", 5)) && ok(LessThanOrEqual("n_tok", 5)))
+    assert(ok(In("source", Array("web", "books"))))
+    assert(ok(StringStartsWith("doc_id", "doc_0")))
+    assert(ok(And(IsNotNull("doc_id"), Or(EqualTo("source", "web"), IsNull("source")))))
+    assert(ok(Not(EqualTo("source", "web"))))
+    assert(!ok(StringContains("doc_id", "x")), "untranslated shapes must not claim pushdown")
+    assert(!ok(And(EqualTo("a", 1), StringContains("b", "x"))),
+      "a conjunct with an untranslatable side must not be pushed")
+  }
+
   test("catalog + extensions session: plain spark.sql MERGE INTO, no manual rule") {
     val base = spark // force shared-session init before we detach
     SparkSession.clearActiveSession()
