@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_lines" -> ((s, d) => ops.Dedup.lineDedupQuery(s, d)),
     "corpus_vocab" -> ((s, d) => ops.TextOps.vocabQuery(s, d)),
     "text_scrub" -> ((s, d) => ops.TextOps.scrubQuery(s, d)),
+    "text_line_dedup_doc" -> ((s, d) => ops.TextOps.lineDedupDocQuery(s, d)),
     "corpus_pipeline_e2e" -> ((s, d) => ops.Corpus.pipelineQuery(s, d)),
   )
 
@@ -108,6 +109,7 @@ object SparkEntry {
     "dedup_lines" -> ops.Dedup.lineDedupSql,
     "corpus_vocab" -> ops.TextOps.vocabSql,
     "text_scrub" -> ops.TextOps.scrubSql,
+    "text_line_dedup_doc" -> ops.TextOps.lineDedupDocSql,
     "corpus_pipeline_e2e" -> ops.Corpus.pipelineSql,
   )
 }

@@ -107,7 +107,68 @@ case class WordGrams(child: Expression, width: Int, stride: Int)
     copy(child = newChild)
 }
 
+/** Within-document line dedup kernel: split on '\n' BYTES (every part
+  * kept, including empties and trailing empties — the split semantics
+  * of Spark's `split(str, re, -1)` and DuckDB's `split`), keep the
+  * FIRST occurrence of each byte-identical line, rejoin with '\n'.
+  * The within-doc counterpart of the corpus-global
+  * [[graft.ops.Dedup.lineDedup]]: repeated boilerplate INSIDE one
+  * document (nav bars, repeated paragraphs) collapses per-row at scan
+  * stage — zero shuffles, embarrassingly parallel.
+  */
+object LineDedupUtil {
+  private val NL = UTF8String.fromString("\n")
+
+  def dedupLines(text: UTF8String): UTF8String = {
+    val parts = text.split(NL, -1)
+    if (parts.length <= 1) return text
+    val seen = new java.util.HashSet[UTF8String](parts.length * 2)
+    val kept = new Array[UTF8String](parts.length)
+    var k = 0
+    var i = 0
+    while (i < parts.length) {
+      if (seen.add(parts(i))) { kept(k) = parts(i); k += 1 }
+      i += 1
+    }
+    if (k == parts.length) text
+    else UTF8String.concatWs(NL, java.util.Arrays.copyOf(kept, k): _*)
+  }
+}
+
+/** Native (whole-stage-codegen) within-doc line dedup — see
+  * [[LineDedupUtil.dedupLines]] for semantics.
+  */
+case class LineDedupDoc(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "line_dedup_doc"
+  override def dataType: DataType = StringType
+  override lazy val deterministic: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"line_dedup_doc expects STRING, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    LineDedupUtil.dedupLines(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LineDedupUtil.dedupLines($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextGrams {
+  /** Within-doc first-wins line dedup of a text column. */
+  def lineDedupDoc(text: Column): Column =
+    GraftSqlBridge.column(LineDedupDoc(GraftSqlBridge.expression(text)))
+
   /** Sliding word n-grams (shingles): one gram per window position;
     * fewer than `width` words collapse to one whole-text gram.
     */
@@ -142,5 +203,7 @@ object TextGrams {
       (es: Seq[Expression]) => QDotVec(es.head, es(1)))
     GraftSqlBridge.registerFunction(spark, "token_seq",
       (es: Seq[Expression]) => TokenSeq(es.head, es(1), intLit(es(2), "token_seq")))
+    GraftSqlBridge.registerFunction(spark, "line_dedup_doc",
+      (es: Seq[Expression]) => LineDedupDoc(es.head))
   }
 }

@@ -185,6 +185,53 @@ object TextOps {
 
   // ------------------------------------------------------------- queries
 
+  /** Within-doc line dedup (native [[graft.functions.LineDedupDoc]]
+    * kernel): repeated boilerplate lines INSIDE one document collapse
+    * first-wins at scan stage — zero shuffles. Driver query plants
+    * repetitions (a nav line around every doc, and even docs' own text
+    * duplicated as a line) since the synthetic corpus has none; the
+    * oracle replays the exact first-occurrence-wins split/join
+    * semantics in SQL.
+    */
+  def lineDedupDocQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextGrams
+    val aug = spark.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"),
+      concat(lit("NAV MENU"), lit("\n"), col("text"), lit("\n"), lit("NAV MENU"),
+        when(col("doc_id") % 2 === 0, concat(lit("\n"), col("text")))
+          .otherwise(lit(""))).as("text"))
+    val dedup = TextGrams.lineDedupDoc(col("text"))
+    aug.select(
+      format_string("doc_%012d", col("doc_id")).as("doc_id"),
+      size(split(col("text"), "\n", -1)).cast("long").as("n_lines"),
+      size(split(dedup, "\n", -1)).cast("long").as("n_kept"),
+      md5(dedup).as("dedup_md5"))
+  }
+
+  val lineDedupDocSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |         concat('NAV MENU', chr(10), text, chr(10), 'NAV MENU',
+      |                CASE WHEN doc_id % 2 = 0 THEN concat(chr(10), text) ELSE '' END) AS text
+      |  FROM documents
+      |), e AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, chr(10))) AS line,
+      |         generate_subscripts(string_split(text, chr(10)), 1) AS pos
+      |  FROM aug
+      |), q AS (
+      |  SELECT doc_id, line, pos,
+      |         row_number() OVER (PARTITION BY doc_id, line ORDER BY pos) AS rn,
+      |         count(*) OVER (PARTITION BY doc_id) AS n_lines
+      |  FROM e
+      |)
+      |SELECT printf('doc_%012d', doc_id) AS doc_id,
+      |       CAST(max(n_lines) AS BIGINT) AS n_lines,
+      |       CAST(count(*) AS BIGINT) AS n_kept,
+      |       md5(string_agg(line, chr(10) ORDER BY pos)) AS dedup_md5
+      |FROM q WHERE rn = 1
+      |GROUP BY doc_id""".stripMargin
+
   def analyze(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet").select(
       col("doc_id"),

@@ -186,6 +186,20 @@ class PropertySpec extends AnyFunSuite {
     }, cases = 60)
   }
 
+  test("LineDedupDoc kernel == split/distinct/rejoin reference model") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    // Small alphabet with newlines so duplicate and empty lines are common.
+    val genText = Gen.listOf(Gen.oneOf("a", "bb", "", "a", "cé", "က0x"))
+      .map(_.mkString("\n"))
+    check("lineDedupDoc", Prop.forAll(genText) { text =>
+      val expected = text.split("\n", -1).distinct.mkString("\n")
+      val got = Seq(Tuple1(text)).toDF("t")
+        .select(graft.functions.TextGrams.lineDedupDoc($"t")).as[String].head()
+      got == expected
+    })
+  }
+
   test("first-wins dedup model: lowest offset wins per key, offsets unique per (topic,partition)") {
     // In-memory reference model of Ingest.dedupFirstWins for inputs
     // where same-(topic,partition,offset) records are byte-identical

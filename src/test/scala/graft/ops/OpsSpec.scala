@@ -220,6 +220,25 @@ class OpsSpec extends SparkSpec {
     assert(fps(0) == fps(1), "fingerprint must ignore order and multiplicity")
   }
 
+  test("line_dedup_doc: first occurrence wins, empties and trailing parts exact") {
+    import graft.functions.TextGrams
+    val cases = Seq(
+      "a\nb\na\nc" -> "a\nb\nc",
+      "x" -> "x",
+      "" -> "",
+      "a\n\nb\n\na\n" -> "a\n\nb", // blank lines dedup like any line
+      "same\nsame\nsame" -> "same",
+      "NAV\nbody text\nNAV" -> "NAV\nbody text")
+    val out = cases.map(_._1).toDF("text")
+      .select(TextGrams.lineDedupDoc($"text").as("d")).as[String].collect()
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want ${want.replace("\n", "\\n")} got ${got.replace("\n", "\\n")}")
+    }
+    // SQL registration parity.
+    graft.functions.TextGrams.register(spark)
+    assert(spark.sql("SELECT line_dedup_doc('p\np\nq')").head().getString(0) == "p\nq")
+  }
+
   test("scrub redacts emails and URLs exactly, counts per doc") {
     val rows = Seq(
       (1L, "hello bob@ex.com and carol+x@sub.ex.org end"),
