@@ -71,6 +71,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!readSchema.contains("tokens"), p)
   }
 
+  test("within-doc line dedup plans as a pure scan projection — zero exchanges, no lambdas") {
+    val df = spark.read.parquet(s"$docs/documents.parquet")
+      .select($"doc_id", graft.functions.TextGrams.lineDedupDoc($"text").as("d"))
+    assert(shuffles(df) == 0, plan(df))
+    assert(!plan(df).contains("BroadcastExchange"))
+    assert(!plan(df).contains("lambdafunction"), plan(df))
+  }
+
   test("hot paths carry no interpreted lambdas (HOFs are CodegenFallback, ~300x/row)") {
     // Spark higher-order functions (transform/aggregate/zip_with) show
     // up as `lambdafunction(...)` in the plan and evaluate interpreted
