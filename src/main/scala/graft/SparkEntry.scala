@@ -59,6 +59,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => ops.Components.dupClusters(s, d)),
     "corpus_pack" -> ((s, d) => ops.Corpus.packQuery(s, d)),
     "corpus_sample" -> ((s, d) => ops.Corpus.sampleQuery(s, d)),
+    "corpus_domain_mix" -> ((s, d) => ops.Corpus.domainMixQuery(s, d)),
     "corpus_quality_filter" -> ((s, d) => ops.Corpus.qualityFilterQuery(s, d)),
     "dedup_lines" -> ((s, d) => ops.Dedup.lineDedupQuery(s, d)),
     "corpus_vocab" -> ((s, d) => ops.TextOps.vocabQuery(s, d)),
@@ -105,6 +106,7 @@ object SparkEntry {
     "dedup_clusters" -> ops.Components.dupClustersSql,
     "corpus_pack" -> ops.Corpus.packSql,
     "corpus_sample" -> ops.Corpus.sampleSql,
+    "corpus_domain_mix" -> ops.Corpus.domainMixSql,
     "corpus_quality_filter" -> ops.Corpus.qualityFilterSql,
     "dedup_lines" -> ops.Dedup.lineDedupSql,
     "corpus_vocab" -> ops.TextOps.vocabSql,

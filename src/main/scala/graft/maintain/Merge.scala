@@ -219,9 +219,14 @@ object Merge {
     val srcRows = src.count()
 
     // Streamed planning: the driver holds the endpoint array (capped)
-    // and the TOUCHED files — never the full inventory.
+    // and the TOUCHED files — never the full inventory. The cap is
+    // conf-overridable (graft.merge.boundsCap) so deployments — and the
+    // coarse-path correctness spec — can tune where exact endpoint
+    // collection hands over to distributed coarsening.
+    val boundsCap = spark.conf.getOption("graft.merge.boundsCap")
+      .map(_.toInt).getOrElse(DefaultBoundsCap)
     val plan = planPrune(() => table.filesStream(parent),
-      src.select($"doc_id"), () => table.files(parent))
+      src.select($"doc_id"), () => table.files(parent), boundsCap)
     val prune = plan.prune
     val touchedPaths = prune.touchedPaths
     val touched = plan.touched

@@ -269,6 +269,78 @@ object Corpus {
        |WHERE $samplePredicateSql
        |GROUP BY 1, 2""".stripMargin
 
+  // -------------------------------------------------------- domain mixing
+
+  /** Per-mille target weights for the driver mixing query (the
+    * remaining sources drop — mixing is also a domain filter).
+    */
+  val MixWeights: Seq[(String, Int)] = Seq(
+    "src0" -> 400, "src1" -> 300, "src2" -> 200, "src3" -> 100)
+
+  /** Per-source acceptance rates (parts-per-million) hitting the target
+    * mixture as closely as the inventory allows: the output size T is
+    * bounded by the scarcest weighted source (taken in full); every
+    * other source downsamples to its share of T. ALL-INTEGER math
+    * (floor division, positive operands) so the DuckDB oracle replays
+    * it bit-for-bit — no float accumulation divergence.
+    */
+  def domainMixRates(counts: Map[String, Long],
+      weightsPerMille: Seq[(String, Int)]): Map[String, Long] = {
+    val present = weightsPerMille.filter { case (s, w) =>
+      w > 0 && counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return Map.empty
+    val t = present.map { case (s, w) => counts(s) * 1000L / w }.min
+    present.map { case (s, w) =>
+      s -> math.min(1000000L, w * t * 1000L / counts(s))
+    }.toMap
+  }
+
+  /** Domain mixing (Pile/DoReMi-style source reweighting): deterministic
+    * per-source hash-threshold acceptance so the output's source shares
+    * match `weightsPerMille`. One O(#sources) count aggregate plans the
+    * rates; the acceptance itself is a scan-stage predicate — zero data
+    * shuffles, stable under re-runs and layout changes (keyed on
+    * doc_id, like [[stratifiedSample]] and [[splitCol]]).
+    */
+  def domainMix(docs: DataFrame,
+      weightsPerMille: Seq[(String, Int)] = MixWeights): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // O(#sources)
+    val rates = domainMixRates(counts, weightsPerMille)
+    if (rates.isEmpty) return docs.filter(lit(false))
+    val ppm = rates.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (s, p)) =>
+      when(col("source") === s, lit(p)).otherwise(acc)
+    }
+    val h = pmod(Dedup.hash60(concat(lit("mix:"), col("doc_id").cast("string"))),
+      lit(1000000L))
+    docs.filter(h < ppm)
+  }
+
+  /** Driver query: post-mix survivor counts per source. */
+  def domainMixQuery(spark: SparkSession, dir: String): DataFrame =
+    domainMix(spark.read.parquet(s"$dir/documents.parquet"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+
+  val domainMixSql: String = {
+    val caseW = "CASE source " +
+      MixWeights.map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ") +
+      " ELSE 0 END"
+    s"""WITH counts AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+       |), w AS (
+       |  SELECT source, n, CAST($caseW AS BIGINT) AS wm FROM counts
+       |), t AS (
+       |  SELECT min(n * 1000 // wm) AS t FROM w WHERE wm > 0
+       |), r AS (
+       |  SELECT source, LEAST(1000000, wm * (SELECT t FROM t) * 1000 // n) AS ppm
+       |  FROM w WHERE wm > 0
+       |)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+       |FROM documents d JOIN r ON d.source = r.source
+       |WHERE ${Dedup.hash60Sql("'mix:' || d.doc_id::VARCHAR")} % 1000000 < r.ppm
+       |GROUP BY 1""".stripMargin
+  }
+
   // ------------------------------------------------------ quality filter
 
   /** C4-style quality filter: per-doc keep/drop verdict with the FIRST

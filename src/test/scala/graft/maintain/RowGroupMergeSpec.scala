@@ -74,6 +74,38 @@ class RowGroupMergeSpec extends SparkSpec {
     }
   }
 
+  test("merge under coarsened endpoints (tiny boundsCap) stays byte-exact") {
+    // Force the distributed every-k-th endpoint coarsening on a real
+    // merge: with 16 files (32 endpoints) and a cap of 4, the segment
+    // index is built from a strict subset of endpoints — pruning
+    // over-approximates but the rewrite must produce the identical
+    // post-merge state.
+    val dir = tmpDir("coarse_merge")
+    val t = TokenTable.create(spark, dir)
+    (0 until 4).foreach { i =>
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 2000, idOffset = i * 2000L, minLen = 16, maxLen = 32,
+        numPartitions = 4)))
+    }
+    Cluster.run(t, Cluster.ByDocId, "cm-cluster", targetBytes = 128L * 1024)
+    def updates = t.scan()
+      .filter($"doc_id" >= f"doc_${4000}%012d" && $"doc_id" <= f"doc_${4099}%012d")
+      .select($"doc_id", array_repeat(lit(5), 2).as("tokens"),
+        lit(2).as("n_tok"), $"source")
+      .withColumn("__p", monotonically_increasing_id())
+    spark.conf.set("graft.merge.boundsCap", "4")
+    val r = try Merge.mergeInto(t, updates, "__p", "cm-m1")
+      finally spark.conf.unset("graft.merge.boundsCap")
+    assert(r.sourceRows == 100)
+    assert(t.scan().count() == 8000)
+    val in = t.scan()
+      .filter($"doc_id" >= f"doc_${4000}%012d" && $"doc_id" <= f"doc_${4099}%012d")
+    assert(in.count() == 100 && in.filter($"n_tok" === 2).count() == 100,
+      "every updated row must carry the merge's tokens under coarse pruning")
+    assert(t.scan().filter($"n_tok" === 2).count() == 100,
+      "no row outside the update range may be replaced")
+  }
+
   test("splitFile: fully-cold file is kept verbatim; fully-hot file skips the copy") {
     withTinyRowGroups {
       val dir = tmpDir("rg_split")

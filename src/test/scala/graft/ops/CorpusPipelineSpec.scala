@@ -11,6 +11,33 @@ class CorpusPipelineSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("domain mix: binding source fully taken, shares track targets, deterministic") {
+    // Rates math, integer-exact: a is the scarce weighted source, so it
+    // is taken in full (1e6 ppm) and b downsamples to its share.
+    val rates = Corpus.domainMixRates(
+      Map("a" -> 100L, "b" -> 1000L, "c" -> 7L),
+      Seq("a" -> 500, "b" -> 500))
+    assert(rates == Map("a" -> 1000000L, "b" -> 100000L)) // c unweighted: dropped
+    // Zero-weight and absent sources never produce rates.
+    assert(Corpus.domainMixRates(Map("a" -> 5L), Seq("x" -> 1000)).isEmpty)
+
+    // End-to-end: only weighted sources survive; the realized mix is
+    // within hash-threshold noise of the 4:3:2:1 target; deterministic.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = Corpus.domainMix(docs)
+    val bySrc = out.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc.keySet.subsetOf(Corpus.MixWeights.map(_._1).toSet),
+      s"unweighted sources must drop, got ${bySrc.keySet}")
+    assert(bySrc.getOrElse("src0", 0L) >= bySrc.getOrElse("src1", 0L))
+    assert(bySrc.getOrElse("src1", 0L) > bySrc.getOrElse("src3", 0L),
+      s"shares must order by weight: $bySrc")
+    val ids1 = out.select($"doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Corpus.domainMix(docs.repartition(7))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2, "mixing must be layout-independent")
+  }
+
   test("packSequences equals the single-threaded reference packing") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val budget = 256L
