@@ -34,10 +34,37 @@ object Merge {
   /** Segment-index pruning output: the touched file set plus the
     * machinery to classify individual ROWS by hit-segment membership
     * (bounds = sorted distinct file endpoints; hitSegs = sorted segments
-    * containing at least one source key).
+    * containing at least one source key), plus the per-segment
+    * source-key EXTENTS (extLo/extHi, parallel arrays sorted by lo,
+    * disjoint — segments are disjoint intervals): `[extLo(i), extHi(i)]`
+    * together cover every source key, so a file or row group whose
+    * range intersects NO extent provably matches no key. The extent
+    * test is strictly tighter than hit-segment membership (a segment
+    * spans from the previous endpoint, so segment granularity spills
+    * below each extent's lo).
     */
   case class Prune(touchedPaths: Set[String], bounds: Array[String],
-      hitSegs: Array[Int])
+      hitSegs: Array[Int], extLo: Array[String] = Array.empty,
+      extHi: Array[String] = Array.empty)
+
+  /** Does [lo, hi] intersect any source-key extent? Extents are sorted
+    * by lo and disjoint: find the first extent whose hi >= lo (binary
+    * search on the parallel hi array, also sorted); intersect iff its
+    * lo <= hi. Missing stats (null) ⇒ true (conservative).
+    */
+  def intersectsExtents(lo: String, hi: String,
+      extLo: Array[UTF8String], extHi: Array[UTF8String]): Boolean = {
+    if (lo == null || hi == null) return true
+    if (extLo.isEmpty) return false
+    val l = UTF8String.fromString(lo); val h = UTF8String.fromString(hi)
+    // first i with extHi(i) >= l
+    var a = 0; var b = extHi.length
+    while (a < b) {
+      val m = (a + b) >>> 1
+      if (extHi(m).compareTo(l) < 0) a = m + 1 else b = m
+    }
+    a < extLo.length && extLo(a).compareTo(h) <= 0
+  }
 
   /** First-wins dedup on doc_id ordered by `precedenceCol` asc (the
     * arrival-order stand-in; ties broken by token hash for determinism).
@@ -168,23 +195,23 @@ object Merge {
       while (s <= b) { hot += s; s += 1 }
     }
     val hitSegs: Array[Int] = hot.toArray
-    def anyHitIn(lo: Int, hi: Int): Boolean = {
-      var a = 0; var b = hitSegs.length
-      while (a < b) { val m = (a + b) >>> 1; if (hitSegs(m) < lo) a = m + 1 else b = m }
-      a < hitSegs.length && hitSegs(a) <= hi
-    }
+    // Source-key extents sorted by lo (disjoint — per-segment min/max
+    // of disjoint segments): the TIGHT file/row-group hot test.
+    val extSorted = segExtents.map(r => (r._2, r._3))
+      .sortBy(_._1)(Search.utf8Ordering)
+    val extLo = extSorted.map(_._1)
+    val extHi = extSorted.map(_._2)
+    val extLoU8 = extLo.map(UTF8String.fromString)
+    val extHiU8 = extHi.map(UTF8String.fromString)
     // Pass 2: touched selection — files without stats can never be
-    // pruned; statted files keep iff a hot segment intersects them.
+    // pruned; statted files keep iff their range intersects a
+    // source-key extent.
     val touched = scala.collection.mutable.ArrayBuffer.empty[DataFile]
     filesIt().foreach { f =>
-      val keep =
-        if (f.minDocId == null || f.maxDocId == null) true
-        else anyHitIn(
-          Search.upperBoundUtf8(u8, UTF8String.fromString(f.minDocId)),
-          Search.upperBoundUtf8(u8, UTF8String.fromString(f.maxDocId)))
-      if (keep) touched += f
+      if (intersectsExtents(f.minDocId, f.maxDocId, extLoU8, extHiU8))
+        touched += f
     }
-    PrunePlan(Prune(touched.map(_.path).toSet, bounds, hitSegs),
+    PrunePlan(Prune(touched.map(_.path).toSet, bounds, hitSegs, extLo, extHi),
       touched.toSeq, total)
   }
 
@@ -264,7 +291,7 @@ object Merge {
     val rgSplits: Seq[graft.table.RowGroupCopy.Split] =
       if (split && touched.nonEmpty)
         graft.table.RowGroupCopy.planAll(spark, table.location,
-          touched.map(_.path), coldDir, hotxDir, prune.bounds, prune.hitSegs)
+          touched.map(_.path), coldDir, hotxDir, prune.extLo, prune.extHi)
       else Nil
     val byPathTouched = touched.map(f => f.path -> f).toMap
     val fullyCold = rgSplits.filter(_.allCold).map(s => byPathTouched(s.origPath))

@@ -1,6 +1,5 @@
 package graft.table
 
-import graft.functions.Search
 import org.apache.hadoop.conf.Configuration
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
 import org.apache.parquet.hadoop.metadata.BlockMetaData
@@ -14,8 +13,8 @@ import scala.jdk.CollectionConverters._
   * A merge's file-level prune ([[graft.maintain.Merge.pruneTouchedFull]])
   * marks whole files as touched, but a touched file's ROW GROUPS carry
   * their own doc_id min/max in the parquet footer — usually much tighter
-  * than the file's. A row group whose [min,max] intersects no hot
-  * refined segment provably contains no row equal to any source key, so
+  * than the file's. A row group whose [min,max] intersects no source-key
+  * extent provably contains no row equal to any source key, so
   * its bytes can carry into the new snapshot VERBATIM
   * (`ParquetFileWriter.appendRowGroups` — a positioned byte copy of the
   * column chunks, zero decode, zero re-encode). Only the hot row groups
@@ -37,7 +36,7 @@ object RowGroupCopy {
   /** One touched file's outcome.
     *
     * @param origPath   table-relative original path
-    * @param allCold    no row group intersects a hot segment — the
+    * @param allCold    no row group intersects a source-key extent — the
     *                   original file survives UNTOUCHED (file-level
     *                   pruning was over-approximate; zero IO here)
     * @param decodeRel  what the rewrite must DECODE: the original path
@@ -53,20 +52,15 @@ object RowGroupCopy {
       decodeBytes: Long,
       coldFile: Option[DataFile])
 
-  /** Is a row group with doc_id bounds [lo,hi] possibly hot? Mirrors the
-    * file-level test: any hit refined segment falls within the bounds'
-    * segment span. Missing stats ⇒ hot (conservative: a false "hot"
-    * decodes extra bytes; a false "cold" would lose an update).
+  /** Is a row group with doc_id bounds [lo,hi] possibly hot? The TIGHT
+    * test: does [lo,hi] intersect any source-key extent
+    * ([[graft.maintain.Merge.intersectsExtents]])? Missing stats ⇒ hot
+    * (conservative: a false "hot" decodes extra bytes; a false "cold"
+    * would lose an update).
     */
   private def blockHot(lo: String, hi: String,
-      u8: Array[UTF8String], hitSegs: Array[Int]): Boolean = {
-    if (lo == null || hi == null) return true
-    val a = Search.upperBoundUtf8(u8, UTF8String.fromString(lo))
-    val b = Search.upperBoundUtf8(u8, UTF8String.fromString(hi))
-    var x = 0; var y = hitSegs.length
-    while (x < y) { val m = (x + y) >>> 1; if (hitSegs(m) < a) x = m + 1 else y = m }
-    x < hitSegs.length && hitSegs(x) <= b
-  }
+      extLo: Array[UTF8String], extHi: Array[UTF8String]): Boolean =
+    graft.maintain.Merge.intersectsExtents(lo, hi, extLo, extHi)
 
   private def docIdBounds(b: BlockMetaData): (String, String) = {
     var lo: String = null; var hi: String = null
@@ -95,7 +89,7 @@ object RowGroupCopy {
     */
   def splitFile(relPath: String, location: String, rootUriPath: String,
       coldDirRel: String, hotxDirRel: String,
-      bounds: Array[String], hitSegs: Array[Int],
+      extLo: Array[String], extHi: Array[String],
       conf: Configuration): Split = {
     val inPath = new org.apache.hadoop.fs.Path(s"$location/$relPath")
     val inputFile = HadoopInputFile.fromPath(inPath, conf)
@@ -106,9 +100,10 @@ object RowGroupCopy {
         (md.getSchema, md.getKeyValueMetaData, reader.getFooter.getBlocks.asScala.toSeq)
       } finally reader.close()
 
-    val u8 = bounds.map(UTF8String.fromString)
+    val loU8 = extLo.map(UTF8String.fromString)
+    val hiU8 = extHi.map(UTF8String.fromString)
     val (hot, cold) = blocks.partition { b =>
-      val (lo, hi) = docIdBounds(b); blockHot(lo, hi, u8, hitSegs)
+      val (lo, hi) = docIdBounds(b); blockHot(lo, hi, loU8, hiU8)
     }
     if (hot.isEmpty)
       return Split(relPath, allCold = true, None, 0L, None)
@@ -148,7 +143,7 @@ object RowGroupCopy {
     */
   def planAll(spark: SparkSession, location: String, relPaths: Seq[String],
       coldDirRel: String, hotxDirRel: String,
-      bounds: Array[String], hitSegs: Array[Int]): Seq[Split] = {
+      extLo: Array[String], extHi: Array[String]): Seq[Split] = {
     if (relPaths.isEmpty) return Nil
     val conf = spark.sessionState.newHadoopConf()
     val rootUriPath = new org.apache.hadoop.fs.Path(location).toUri.getPath
@@ -160,7 +155,7 @@ object RowGroupCopy {
       val fs = relPaths.map { p =>
         scala.concurrent.Future(
           splitFile(p, location, rootUriPath, coldDirRel, hotxDirRel,
-            bounds, hitSegs, conf))
+            extLo, extHi, conf))
       }
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(fs),
@@ -181,7 +176,7 @@ object RowGroupCopy {
           val c = new Configuration(false)
           confEntries.foreach { case (k, v) => c.set(k, v) }
           it.map(p => splitFile(p, location, rootUriPath, coldDirRel,
-            hotxDirRel, bounds, hitSegs, c))
+            hotxDirRel, extLo, extHi, c))
         }
         .collect().toSeq
     }

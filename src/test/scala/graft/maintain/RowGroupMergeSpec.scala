@@ -117,24 +117,24 @@ class RowGroupMergeSpec extends SparkSpec {
       val conf = spark.sessionState.newHadoopConf()
       val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath
 
-      // Hot segment far above every doc_id in the file: all groups cold.
+      // Source-key extent far above every doc_id in the file: all cold.
       val coldSplit = RowGroupCopy.splitFile(f.path, dir, root,
-        "data/c", "data/h", bounds = Array("zzz_0", "zzz_9"), hitSegs = Array(1), conf)
+        "data/c", "data/h", extLo = Array("zzz_0"), extHi = Array("zzz_9"), conf = conf)
       assert(coldSplit.allCold && coldSplit.coldFile.isEmpty && coldSplit.decodeRel.isEmpty)
 
-      // Hot segment spanning the whole keyspace: all groups hot, decode
+      // Extent spanning the whole keyspace: all groups hot, decode
       // the ORIGINAL file, no copy written.
       val hotSplit = RowGroupCopy.splitFile(f.path, dir, root,
-        "data/c", "data/h", bounds = Array(f.minDocId, f.maxDocId),
-        hitSegs = Array(1), conf)
+        "data/c", "data/h", extLo = Array(f.minDocId), extHi = Array(f.maxDocId),
+        conf = conf)
       assert(!hotSplit.allCold && hotSplit.decodeRel.contains(f.path))
       assert(hotSplit.coldFile.isEmpty && hotSplit.decodeBytes == f.bytes)
 
-      // Mid-range hot segment: mixed — cold copy + hot extract, and the
+      // Mid-range extent: mixed — cold copy + hot extract, and the
       // two partitions' rows reassemble EXACTLY the original file.
       val lo = f"doc_${800}%012d"; val hi = f"doc_${820}%012d"
       val mixed = RowGroupCopy.splitFile(f.path, dir, root,
-        "data/c", "data/h", bounds = Array(lo, hi), hitSegs = Array(1), conf)
+        "data/c", "data/h", extLo = Array(lo), extHi = Array(hi), conf = conf)
       assert(!mixed.allCold && mixed.coldFile.nonEmpty && mixed.decodeRel.nonEmpty)
       val reunion = spark.read.schema(t.schema)
         .parquet(s"$dir/${mixed.coldFile.get.path}", s"$dir/${mixed.decodeRel.get}")

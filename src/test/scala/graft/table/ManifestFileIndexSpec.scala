@@ -81,11 +81,14 @@ class ManifestFileIndexSpec extends SparkSpec {
     // A doc_id point filter through the PUBLIC DataFrame API must reach
     // the index and prune the scanned file set.
     val some = t.scan().filter($"doc_id" === f"doc_${4321}%012d")
-    assert(some.count() == 1)
+    // collect() executes THIS Dataset's own physical plan — count()
+    // would build and run a DIFFERENT plan, leaving these metrics at 0
+    // and the pruning assertion vacuously true.
+    assert(some.collect().length == 1)
     val scanExec = some.queryExecution.executedPlan.collectLeaves()
       .collectFirst { case s: FileSourceScanExec => s }.get
     val scanned = scanExec.metrics("numFiles").value
-    assert(scanned < total,
+    assert(scanned >= 1 && scanned < total,
       s"expected pruned scan, read $scanned of $total files")
     assert(scanExec.relation.location.isInstanceOf[ManifestFileIndex])
 
