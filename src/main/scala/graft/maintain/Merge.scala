@@ -133,6 +133,12 @@ object Merge {
     */
   val DefaultBoundsCap: Int = 1 << 17
 
+  /** Max per-gap cold output partitions before falling back to a single
+    * cold partition ([[mergeInto]]'s partCol): bounds the dynamic
+    * partition count of the rewrite write.
+    */
+  val MaxGapPartitions: Int = 64
+
   /** Streaming, bounded-memory segment-index construction (VERDICT r3
     * task 4): two driver passes over the manifest-row ITERATOR (never a
     * materialized Seq), holding at most `boundsCap` endpoints plus the
@@ -315,7 +321,7 @@ object Merge {
     // data: the anti join's key is NULL for cold rows (null never
     // equals, so they always survive) — two filtered branches would
     // decode every touched file twice. The two classes land in SEPARATE
-    // files (partitionBy on __hot) so the rewrite's cold output keeps
+    // files (partitionBy on __part) so the rewrite's cold output keeps
     // tight doc_id stats: the next merge over the same key range prunes
     // the cold files entirely and its rewrite bytes track the hit
     // ranges instead of whole original files.
@@ -324,16 +330,39 @@ object Merge {
     src.createOrReplaceTempView(sv)
     val merged =
       if (split) {
-        val hits = prune.hitSegs.map(_.toLong)
-        val seg = SearchOps.bucketOfStr(col("doc_id"), prune.bounds).cast("long")
-        val hotCol = SearchOps.bucketOf(seg, hits) > SearchOps.bucketOf(seg - 1, hits)
-        target.withColumn("__hot", hotCol).createOrReplaceTempView(tv)
+        // Row-level hot test by EXTENT intersection (same tightness as
+        // the file/row-group test): idx = #(extent lows <= doc_id) via
+        // the codegen binary search; hot iff the greatest such extent
+        // also bounds the key from above. Tighter than hit-segment
+        // membership, which marked everything down to the previous file
+        // endpoint hot — rows provably outside every extent skip the
+        // anti join entirely.
+        val idx = SearchOps.bucketOfStr(col("doc_id"), prune.extLo)
+        // when() evaluates branches lazily per row — element_at never
+        // sees index 0 (an ANSI error).
+        val hotCol = when(idx >= 1,
+          col("doc_id") <= element_at(lit(prune.extHi), idx))
+          .otherwise(lit(false))
+        // Cold rows partition by which extent GAP they fall in ('c'+idx):
+        // a single cold partition would produce files whose [min,max]
+        // straddle the hot ranges (interval stats cannot express holes),
+        // and the NEXT merge over the same keys would re-touch them —
+        // per-gap files keep every cold output provably outside every
+        // extent. Gap count is bounded by the extent count; above
+        // MaxGapPartitions (an enormous update — file explosion risk)
+        // fall back to one cold partition and let the next merge re-prune.
+        val partCol =
+          if (prune.extLo.length <= MaxGapPartitions)
+            when(hotCol, lit("h"))
+              .otherwise(concat(lit("c"), idx.cast("string")))
+          else when(hotCol, lit("h")).otherwise(lit("c"))
+        target.withColumn("__part", partCol).createOrReplaceTempView(tv)
         spark.sql(
-          s"""SELECT t.doc_id, t.tokens, t.n_tok, t.source, t.__hot
+          s"""SELECT t.doc_id, t.tokens, t.n_tok, t.source, t.__part
              |FROM $tv t LEFT ANTI JOIN $sv s
-             |  ON (CASE WHEN t.__hot THEN t.doc_id END) = s.doc_id
+             |  ON (CASE WHEN t.__part = 'h' THEN t.doc_id END) = s.doc_id
              |UNION ALL
-             |SELECT doc_id, tokens, n_tok, source, true AS __hot FROM $sv""".stripMargin)
+             |SELECT doc_id, tokens, n_tok, source, 'h' AS __part FROM $sv""".stripMargin)
       } else {
         target.createOrReplaceTempView(tv)
         spark.sql(
@@ -346,7 +375,7 @@ object Merge {
     // Version-scoped output dir (same rationale as Compact/Cluster).
     val out = table.writeDataFilesTo(merged, s"data/$jobId-v${parent.version}",
       overwrite = true, sortBy = Some("doc_id"),
-      partitionBy = if (split) Seq("__hot") else Nil)
+      partitionBy = if (split) Seq("__part") else Nil)
     Lineage.completeTask(table, Lineage.TaskRecord(
       jobId, "merge", touched.map(_.path), out,
       rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
