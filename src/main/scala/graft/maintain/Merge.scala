@@ -139,6 +139,12 @@ object Merge {
     */
   val MaxGapPartitions: Int = 64
 
+  /** Cap on the source-key sample mixed into the extent segmentation
+    * (bounds the extent arrays the classifiers broadcast and binary-
+    * search — 16k strings is the same order as clustering boundaries).
+    */
+  val KeySampleCap: Int = 1 << 14
+
   /** Streaming, bounded-memory segment-index construction (VERDICT r3
     * task 4): two driver passes over the manifest-row ITERATOR (never a
     * materialized Seq), holding at most `boundsCap` endpoints plus the
@@ -177,10 +183,31 @@ object Merge {
     val fileBounds: Array[String] =
       if (!overflow) epb.distinct.sorted(Search.utf8Ordering).toArray
       else coarseEndpoints(filesDS(), boundsCap)
+    // Segmentation for the EXTENT aggregation: file endpoints PLUS a
+    // capped deterministic sample of the source keys themselves. File
+    // endpoints alone make one extent per file segment, which fuses
+    // disjoint key clusters inside a wide segment into one range
+    // spanning the dead gap between them (a 2-cluster update inside one
+    // file classified ~everything between the clusters hot). Sampled
+    // keys split such segments at actual key positions, so empty slices
+    // between clusters produce NO extent. String keyspaces have no
+    // numeric gap metric — key-anchored splitting is the scale-safe way
+    // to discover cluster structure.
+    val srcCount = srcKeys.count()
+    val keySample: Array[String] =
+      if (srcCount == 0) Array.empty
+      else if (srcCount <= KeySampleCap)
+        srcKeys.distinct().as[String].collect()
+      else srcKeys
+        .sample(withReplacement = false,
+          math.min(1.0, KeySampleCap.toDouble * 1.2 / srcCount), seed = 42L)
+        .distinct().as[String].collect()
+    val extBounds: Array[String] =
+      (fileBounds ++ keySample).distinct.sorted(Search.utf8Ordering).toArray
     // Per-segment source-key extents: ONE aggregation, output bounded by
     // the segment count.
     val segExtents: Array[(Int, String, String)] = srcKeys
-      .select(SearchOps.bucketOfStr(col("doc_id"), fileBounds).as("seg"),
+      .select(SearchOps.bucketOfStr(col("doc_id"), extBounds).as("seg"),
         col("doc_id"))
       .groupBy($"seg")
       .agg(min($"doc_id").as("lo"), max($"doc_id").as("hi"))
@@ -265,24 +292,17 @@ object Merge {
     val touched = plan.touched
     val untouchedCount = plan.totalFiles - touched.size
 
-    // Row-level hit-segment classifier: seg(doc_id) ∈ hitSegs, via two
-    // codegen'd binary searches (upper_bound counts elements <= key, so
-    // membership ⇔ count(seg) > count(seg-1)). Sound for rows of
-    // UNSTATTED files too: bounds partition the whole key space, and a
-    // row in a non-hit segment cannot equal any source key no matter
-    // which file held it.
-    //
-    // Skipped when hit segments cover most of the keyspace (uniform
-    // updates): with nothing meaningful to carve off, the classifier is
-    // pure per-row cost — two UTF8 binary searches over the endpoint
-    // array on every touched row — and "everything hot" is the correct
-    // degenerate answer. The split exists for range-local updates,
-    // where coverage is tiny.
-    val segCount = prune.bounds.length + 1
-    val hotCoverage =
-      if (segCount == 0) 1.0 else prune.hitSegs.length.toDouble / segCount
-    val split =
-      prune.bounds.nonEmpty && prune.hitSegs.nonEmpty && hotCoverage <= 0.5
+    // Hot/cold split gate: classify rows/row-groups only when the
+    // update is SPARSE relative to the touched data — if source keys
+    // cover most touched rows (dense update), "everything hot" is the
+    // correct degenerate answer and the classifier is pure per-row
+    // cost. Rows-based, so it needs no string-keyspace metric (extent
+    // arrays can be per-key singletons, which made any segment-count
+    // coverage ratio meaningless). Sound for rows of UNSTATTED files
+    // too: extents cover every source key, so a row outside all extents
+    // cannot equal any key no matter which file held it.
+    val touchedRows = touched.map(_.rows).sum
+    val split = prune.extLo.nonEmpty && srcRows * 2 <= touchedRows
 
     // Row-GROUP-level cold copy (below the file-level prune, above the
     // row-level classifier): each touched file's row groups carry their
@@ -301,7 +321,7 @@ object Merge {
       else Nil
     val byPathTouched = touched.map(f => f.path -> f).toMap
     val fullyCold = rgSplits.filter(_.allCold).map(s => byPathTouched(s.origPath))
-    val coldFiles = rgSplits.flatMap(_.coldFile)
+    val coldFiles = rgSplits.flatMap(_.coldFiles)
     val decodeRels: Seq[String] =
       if (split) rgSplits.flatMap(_.decodeRel)
       else touched.map(_.path)
@@ -401,7 +421,7 @@ object Merge {
     spark.catalog.dropTempView(sv)
     // Hot extracts served only the rewrite job: drop them now (orphan GC
     // would also collect them, but leaving temporaries to GC hides bugs).
-    if (rgSplits.exists(s => !s.allCold && s.coldFile.nonEmpty)) {
+    if (rgSplits.exists(s => !s.allCold && s.coldFiles.nonEmpty)) {
       val hx = new org.apache.hadoop.fs.Path(s"${table.location}/$hotxDir")
       hx.getFileSystem(spark.sessionState.newHadoopConf()).delete(hx, true)
     }

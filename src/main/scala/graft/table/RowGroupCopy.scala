@@ -43,14 +43,19 @@ object RowGroupCopy {
     *                   when every group is hot (no copy made), else the
     *                   hot-extract file containing only hot groups
     * @param decodeBytes bytes the rewrite will decode for this file
-    * @param coldFile   manifest row of the bytewise-copied cold groups
+    * @param coldFiles  manifest rows of the bytewise-copied cold groups —
+    *                   one output file per contiguous cold RUN, so no
+    *                   cold file's [min,max] straddles a hot range and a
+    *                   repeat merge over the same keys prunes them all
+    *                   at file level (one combined file would span the
+    *                   hot holes and be re-touched forever)
     */
   case class Split(
       origPath: String,
       allCold: Boolean,
       decodeRel: Option[String],
       decodeBytes: Long,
-      coldFile: Option[DataFile])
+      coldFiles: Seq[DataFile])
 
   /** Is a row group with doc_id bounds [lo,hi] possibly hot? The TIGHT
     * test: does [lo,hi] intersect any source-key extent
@@ -102,13 +107,22 @@ object RowGroupCopy {
 
     val loU8 = extLo.map(UTF8String.fromString)
     val hiU8 = extHi.map(UTF8String.fromString)
-    val (hot, cold) = blocks.partition { b =>
+    val flags: Seq[Boolean] = blocks.map { b =>
       val (lo, hi) = docIdBounds(b); blockHot(lo, hi, loU8, hiU8)
     }
-    if (hot.isEmpty)
-      return Split(relPath, allCold = true, None, 0L, None)
-    if (cold.isEmpty)
-      return Split(relPath, allCold = false, Some(relPath), inputFile.getLength, None)
+    if (!flags.contains(true))
+      return Split(relPath, allCold = true, None, 0L, Nil)
+    if (!flags.contains(false))
+      return Split(relPath, allCold = false, Some(relPath), inputFile.getLength, Nil)
+    val hot = blocks.zip(flags).collect { case (b, true) => b }
+    // Contiguous cold runs, in file order.
+    val coldRuns = scala.collection.mutable.ArrayBuffer.empty[Seq[BlockMetaData]]
+    var run = scala.collection.mutable.ArrayBuffer.empty[BlockMetaData]
+    blocks.zip(flags).foreach { case (b, isHot) =>
+      if (isHot) { if (run.nonEmpty) { coldRuns += run.toSeq; run.clear() } }
+      else run += b
+    }
+    if (run.nonEmpty) coldRuns += run.toSeq
 
     // Deterministic output names: <sha1(relPath)>.parquet under each dir.
     val stem = java.security.MessageDigest.getInstance("SHA-1")
@@ -126,13 +140,15 @@ object RowGroupCopy {
       w.end(kv)
       out
     }
-    val coldRel = s"$coldDirRel/cold-$stem.parquet"
     val hotxRel = s"$hotxDirRel/hotx-$stem.parquet"
-    val coldPath = copyGroups(cold, coldRel)
     val hotxPath = copyGroups(hot, hotxRel)
-    // Manifest stats for the cold survivor: footer min/max + n_tok page
-    // drain, one open of the (just-written) cold file.
-    val coldStats = FileStats.statsForFile(coldPath.toUri.getPath, rootUriPath, conf)
+    // Manifest stats for each cold survivor: footer min/max + n_tok page
+    // drain, one open of each (just-written) cold file.
+    val coldStats = coldRuns.zipWithIndex.flatMap { case (groups, k) =>
+      val rel = s"$coldDirRel/cold-$stem-r$k.parquet"
+      val p = copyGroups(groups, rel)
+      FileStats.statsForFile(p.toUri.getPath, rootUriPath, conf)
+    }.toSeq
     val hotxLen = hotxPath.getFileSystem(conf).getFileStatus(hotxPath).getLen
     Split(relPath, allCold = false, Some(hotxRel), hotxLen, coldStats)
   }

@@ -74,6 +74,39 @@ class RowGroupMergeSpec extends SparkSpec {
     }
   }
 
+  test("two disjoint narrow ranges: both update, cold gaps stay prunable, decoded stays tight") {
+    withTinyRowGroups {
+      val dir = tmpDir("rg_two")
+      val t = TokenTable.create(spark, dir)
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 6000, minLen = 32, maxLen = 64, numPartitions = 1)
+        .repartition(1).sortWithinPartitions("doc_id")))
+      def range(a: Int, b: Int) =
+        $"doc_id" >= f"doc_$a%012d" && $"doc_id" <= f"doc_$b%012d"
+      val outside = checksum(t.scan().filter(!range(1000, 1049) && !range(5000, 5049)))
+      val src = t.scan().filter(range(1000, 1049) || range(5000, 5049))
+        .select($"doc_id", array_repeat(lit(7), 3).as("tokens"),
+          lit(3).as("n_tok"), $"source")
+        .withColumn("__p", monotonically_increasing_id())
+      val r1 = Merge.mergeInto(t, src, "__p", "rg2-m1")
+      assert(r1.sourceRows == 100)
+      assert(r1.decodedBytes < r1.touchedBytes / 4,
+        s"two narrow extents must decode a small slice: ${r1.decodedBytes} of ${r1.touchedBytes}")
+      assert(checksum(t.scan().filter(!range(1000, 1049) && !range(5000, 5049))) == outside)
+      assert(t.scan().filter($"n_tok" === 3).count() == 100)
+      // Repeat merge over the SAME two ranges: gap-partitioned cold
+      // outputs must prune, so round 2 touches far fewer bytes.
+      val src2 = t.scan().filter(range(1000, 1049) || range(5000, 5049))
+        .select($"doc_id", array_repeat(lit(8), 3).as("tokens"),
+          lit(3).as("n_tok"), $"source")
+        .withColumn("__p", monotonically_increasing_id())
+      val r2 = Merge.mergeInto(t, src2, "__p", "rg2-m2")
+      assert(r2.touchedBytes < r1.touchedBytes / 2,
+        s"repeat merge must touch fewer bytes: ${r2.touchedBytes} vs ${r1.touchedBytes}")
+      assert(t.scan().count() == 6000)
+    }
+  }
+
   test("merge under coarsened endpoints (tiny boundsCap) stays byte-exact") {
     // Force the distributed every-k-th endpoint coarsening on a real
     // merge: with 16 files (32 endpoints) and a cap of 4, the segment
@@ -120,7 +153,7 @@ class RowGroupMergeSpec extends SparkSpec {
       // Source-key extent far above every doc_id in the file: all cold.
       val coldSplit = RowGroupCopy.splitFile(f.path, dir, root,
         "data/c", "data/h", extLo = Array("zzz_0"), extHi = Array("zzz_9"), conf = conf)
-      assert(coldSplit.allCold && coldSplit.coldFile.isEmpty && coldSplit.decodeRel.isEmpty)
+      assert(coldSplit.allCold && coldSplit.coldFiles.isEmpty && coldSplit.decodeRel.isEmpty)
 
       // Extent spanning the whole keyspace: all groups hot, decode
       // the ORIGINAL file, no copy written.
@@ -128,25 +161,32 @@ class RowGroupMergeSpec extends SparkSpec {
         "data/c", "data/h", extLo = Array(f.minDocId), extHi = Array(f.maxDocId),
         conf = conf)
       assert(!hotSplit.allCold && hotSplit.decodeRel.contains(f.path))
-      assert(hotSplit.coldFile.isEmpty && hotSplit.decodeBytes == f.bytes)
+      assert(hotSplit.coldFiles.isEmpty && hotSplit.decodeBytes == f.bytes)
 
       // Mid-range extent: mixed — cold copy + hot extract, and the
       // two partitions' rows reassemble EXACTLY the original file.
       val lo = f"doc_${800}%012d"; val hi = f"doc_${820}%012d"
       val mixed = RowGroupCopy.splitFile(f.path, dir, root,
         "data/c", "data/h", extLo = Array(lo), extHi = Array(hi), conf = conf)
-      assert(!mixed.allCold && mixed.coldFile.nonEmpty && mixed.decodeRel.nonEmpty)
+      assert(!mixed.allCold && mixed.coldFiles.nonEmpty && mixed.decodeRel.nonEmpty)
+      // One cold file per contiguous cold run: a mid-range extent leaves
+      // a below-run and an above-run, neither straddling the hot range.
+      assert(mixed.coldFiles.size == 2, s"expected 2 cold runs, got ${mixed.coldFiles.size}")
+      assert(mixed.coldFiles.forall(cf => cf.maxDocId < lo || cf.minDocId > hi),
+        "no cold file may straddle the hot range")
       val reunion = spark.read.schema(t.schema)
-        .parquet(s"$dir/${mixed.coldFile.get.path}", s"$dir/${mixed.decodeRel.get}")
+        .parquet(mixed.coldFiles.map(cf => s"$dir/${cf.path}") :+
+          s"$dir/${mixed.decodeRel.get}": _*)
       assert(checksum(reunion) == checksum(t.scan()),
-        "cold copy + hot extract must reassemble the original rows exactly")
-      // The cold copy's manifest stats must be true bounds of its rows.
-      val cf = mixed.coldFile.get
-      val coldRows = spark.read.schema(t.schema).parquet(s"$dir/${cf.path}")
-      val mm = coldRows.agg(min($"doc_id"), max($"doc_id"), count(lit(1)),
-        sum($"n_tok".cast("long"))).head()
-      assert(mm.getString(0) == cf.minDocId && mm.getString(1) == cf.maxDocId)
-      assert(mm.getLong(2) == cf.rows && mm.getLong(3) == cf.sumNtok)
+        "cold copies + hot extract must reassemble the original rows exactly")
+      // Each cold copy's manifest stats must be true bounds of its rows.
+      mixed.coldFiles.foreach { cf =>
+        val coldRows = spark.read.schema(t.schema).parquet(s"$dir/${cf.path}")
+        val mm = coldRows.agg(min($"doc_id"), max($"doc_id"), count(lit(1)),
+          sum($"n_tok".cast("long"))).head()
+        assert(mm.getString(0) == cf.minDocId && mm.getString(1) == cf.maxDocId)
+        assert(mm.getLong(2) == cf.rows && mm.getLong(3) == cf.sumNtok)
+      }
     }
   }
 }
