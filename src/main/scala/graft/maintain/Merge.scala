@@ -84,30 +84,29 @@ object Merge {
     * Spark plans BroadcastNestedLoopJoin = O(#files x #source-keys) —
     * 10^12 comparisons at 10^6 files x 10^6 keys. Instead:
     *
-    *  1. The sorted distinct file endpoints form elementary segments;
-    *     `seg(k) = #(endpoints <= k)` (one O(log B) codegen'd binary
-    *     search per key). Two keys with equal seg relate identically to
-    *     every file interval, since all interval endpoints are segment
-    *     boundaries.
-    *  2. One bounded aggregation collects, per HIT segment, the actual
-    *     source-key extent [min key, max key] — at most 2x#files+1
-    *     output rows regardless of source size (map-side partial agg;
-    *     at 10^6 files this is a few MB).
-    *  3. The segmentation is REFINED with those key extents as extra
-    *     endpoints: a hit segment's hot span clips to the keys it
-    *     actually contains, so an update hitting 50 consecutive keys
-    *     inside a wide file marks only that key range hot — not the
-    *     file's whole elementary segment. This is what lets the rewrite
-    *     ([[mergeInto]]) carry everything outside the hot spans as cold
-    *     rows without joining them, and lets file-level pruning skip
-    *     files that sit inside an old segment but between key clusters.
-    *  4. Each file intersects the hot set iff a hot refined segment
-    *     falls in [seg(min), seg(max)] — O(#files log #hits) on the
-    *     driver, which already holds the file list for planning.
+    *  1. A segmentation of the keyspace is built from the sorted
+    *     distinct file endpoints PLUS a capped deterministic sample of
+    *     the source keys; `seg(k) = #(bounds <= k)` is one O(log B)
+    *     codegen'd binary search per key. The sampled keys split wide
+    *     file segments at actual key positions — endpoints alone fuse
+    *     disjoint key clusters inside one segment into an extent
+    *     spanning the dead gap between them.
+    *  2. One bounded aggregation collects, per segment, the actual
+    *     source-key EXTENT [min key, max key] — output rows bounded by
+    *     the segment count regardless of source size (map-side partial
+    *     agg). The extents are disjoint, sorted, and together cover
+    *     every source key.
+    *  3. A file is touched iff its [min,max] INTERSECTS some extent
+    *     ([[intersectsExtents]]: one binary search + one compare per
+    *     file, on the driver, which streams the file list for
+    *     planning). The same test classifies row GROUPS for the
+    *     bytewise cold copy and — as a codegen'd column expression —
+    *     individual ROWS for the hot/cold rewrite split in
+    *     [[mergeInto]].
     *
-    * Over-approximates only between a bound and the next refined
-    * endpoint (a false positive reads or anti-joins extra rows; never
-    * misses a match).
+    * Over-approximates only within an extent between actual keys (a
+    * false positive reads or anti-joins extra rows; never misses a
+    * match).
     */
   def pruneTouched(files: Seq[DataFile], srcKeys: DataFrame): Set[String] =
     pruneTouchedFull(files, srcKeys).touchedPaths
