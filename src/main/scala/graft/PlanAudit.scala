@@ -128,21 +128,22 @@ object PlanAudit {
       println(s"rows=${one.count()} (must be 1)")
     }
 
-    section("merge rewrite (ONE touched scan; hash LeftAnti despite CASE key)") {
+    section("merge rewrite (ONE touched scan; hash LeftAnti on the composite " +
+        "(doc_id, hot-flag) key — cold rows distribute by doc_id, no NULL skew)") {
       val src = TokenGen.asTokenRows(TokenGen.generate(spark, 100, numPartitions = 1))
       val prune = graft.maintain.Merge.pruneTouchedFull(
         t.filesLocal(t.current), src.select($"doc_id"))
-      val hits = prune.hitSegs.map(_.toLong)
-      val seg = graft.functions.SearchOps
-        .bucketOfStr($"doc_id", prune.bounds).cast("long")
-      val hot = graft.functions.SearchOps.bucketOf(seg, hits) >
-        graft.functions.SearchOps.bucketOf(seg - 1, hits)
-      t.scan().withColumn("__hot", hot).createOrReplaceTempView("pa_t")
+      val idx = graft.functions.SearchOps.bucketOfStr($"doc_id", prune.extLo)
+      val part = when(idx >= 1,
+        when($"doc_id" <= element_at(lit(prune.extHi), idx), "h").otherwise("c"))
+        .otherwise(lit("c"))
+      t.scan().withColumn("__part", part).createOrReplaceTempView("pa_t")
       src.createOrReplaceTempView("pa_s")
       spark.sql(
-        """SELECT t.doc_id, t.tokens, t.n_tok, t.source, t.__hot
-          |FROM pa_t t LEFT ANTI JOIN pa_s s
-          |  ON (CASE WHEN t.__hot THEN t.doc_id END) = s.doc_id""".stripMargin)
+        """SELECT t.doc_id, t.tokens, t.n_tok, t.source, t.__part
+          |FROM pa_t t LEFT ANTI JOIN (SELECT doc_id, 0 AS __k FROM pa_s) s
+          |  ON t.doc_id = s.doc_id
+          | AND (CASE WHEN t.__part = 'h' THEN 0 ELSE 1 END) = s.__k""".stripMargin)
     }
 
     spark.stop()

@@ -140,9 +140,10 @@ object Merge {
 
   /** Cap on the source-key sample mixed into the extent segmentation
     * (bounds the extent arrays the classifiers broadcast and binary-
-    * search — 16k strings is the same order as clustering boundaries).
+    * search; 4k splits resolve any realistic cluster structure while
+    * keeping the per-task array payload ~100KB).
     */
-  val KeySampleCap: Int = 1 << 14
+  val KeySampleCap: Int = 1 << 12
 
   /** Streaming, bounded-memory segment-index construction (VERDICT r3
     * task 4): two driver passes over the manifest-row ITERATOR (never a
@@ -152,7 +153,8 @@ object Merge {
     */
   def planPrune(filesIt: () => Iterator[DataFile], srcKeys: DataFrame,
       filesDS: () => org.apache.spark.sql.Dataset[DataFile],
-      boundsCap: Int = DefaultBoundsCap): PrunePlan = {
+      boundsCap: Int = DefaultBoundsCap,
+      knownSrcCount: Long = -1L): PrunePlan = {
     val spark = srcKeys.sparkSession
     import spark.implicits._
     // Pass 1: endpoints (bounded) + inventory count.
@@ -192,7 +194,7 @@ object Merge {
     // between clusters produce NO extent. String keyspaces have no
     // numeric gap metric — key-anchored splitting is the scale-safe way
     // to discover cluster structure.
-    val srcCount = srcKeys.count()
+    val srcCount = if (knownSrcCount >= 0) knownSrcCount else srcKeys.count()
     val keySample: Array[String] =
       if (srcCount == 0) Array.empty
       else if (srcCount <= KeySampleCap)
@@ -285,7 +287,8 @@ object Merge {
     val boundsCap = spark.conf.getOption("graft.merge.boundsCap")
       .map(_.toInt).getOrElse(DefaultBoundsCap)
     val plan = planPrune(() => table.filesStream(parent),
-      src.select($"doc_id"), () => table.files(parent), boundsCap)
+      src.select($"doc_id"), () => table.files(parent), boundsCap,
+      knownSrcCount = srcRows)
     val prune = plan.prune
     val touchedPaths = prune.touchedPaths
     val touched = plan.touched
@@ -376,10 +379,20 @@ object Merge {
               .otherwise(concat(lit("c"), idx.cast("string")))
           else when(hotCol, lit("h")).otherwise(lit("c"))
         target.withColumn("__part", partCol).createOrReplaceTempView(tv)
+        // Cold rows bypass the anti join via a COMPOSITE equi key
+        // (doc_id, hot-flag) against the source's constant flag 0: a
+        // cold row's (doc_id, 1) can never match, so it always survives
+        // — in ONE pass over the touched data. The earlier NULL-key
+        // bypass (CASE ... END with no ELSE) had a hash-skew trap: when
+        // cold rows dominate (tight extents + a wide touched set), every
+        // NULL key hashes to ONE shuffle partition and the sort-merge
+        // join serializes on a single task; the composite key keeps cold
+        // rows distributed by doc_id.
         spark.sql(
           s"""SELECT t.doc_id, t.tokens, t.n_tok, t.source, t.__part
-             |FROM $tv t LEFT ANTI JOIN $sv s
-             |  ON (CASE WHEN t.__part = 'h' THEN t.doc_id END) = s.doc_id
+             |FROM $tv t LEFT ANTI JOIN (SELECT doc_id, 0 AS __k FROM $sv) s
+             |  ON t.doc_id = s.doc_id
+             | AND (CASE WHEN t.__part = 'h' THEN 0 ELSE 1 END) = s.__k
              |UNION ALL
              |SELECT doc_id, tokens, n_tok, source, 'h' AS __part FROM $sv""".stripMargin)
       } else {

@@ -27,19 +27,19 @@ class MergePlanSpec extends SparkSpec {
     val touched = all.filter(f => prune.touchedPaths.contains(f.path))
     val target = spark.read.schema(t.schema)
       .parquet(touched.map(f => s"$dir/${f.path}"): _*)
-    val hits = prune.hitSegs.map(_.toLong)
-    val seg = graft.functions.SearchOps
-      .bucketOfStr(col("doc_id"), prune.bounds).cast("long")
-    val hot = graft.functions.SearchOps.bucketOf(seg, hits) >
-      graft.functions.SearchOps.bucketOf(seg - 1, hits)
-    target.withColumn("__hot", hot).createOrReplaceTempView("mp_t")
+    val idx = graft.functions.SearchOps.bucketOfStr(col("doc_id"), prune.extLo)
+    val part = when(idx >= 1,
+      when(col("doc_id") <= element_at(lit(prune.extHi), idx), "h").otherwise("c"))
+      .otherwise(lit("c"))
+    target.withColumn("__part", part).createOrReplaceTempView("mp_t")
     src.createOrReplaceTempView("mp_s")
     val merged = spark.sql(
-      """SELECT t.doc_id, t.tokens, t.n_tok, t.source, t.__hot
-        |FROM mp_t t LEFT ANTI JOIN mp_s s
-        |  ON (CASE WHEN t.__hot THEN t.doc_id END) = s.doc_id
+      """SELECT t.doc_id, t.tokens, t.n_tok, t.source, t.__part
+        |FROM mp_t t LEFT ANTI JOIN (SELECT doc_id, 0 AS __k FROM mp_s) s
+        |  ON t.doc_id = s.doc_id
+        | AND (CASE WHEN t.__part = 'h' THEN 0 ELSE 1 END) = s.__k
         |UNION ALL
-        |SELECT doc_id, tokens, n_tok, source, true AS __hot FROM mp_s""".stripMargin)
+        |SELECT doc_id, tokens, n_tok, source, 'h' AS __part FROM mp_s""".stripMargin)
     val plan = merged.queryExecution.executedPlan.toString
     // Exactly ONE scan of the touched files (the union's second branch
     // scans the SOURCE relation, whose files are the table's too here,
@@ -48,7 +48,7 @@ class MergePlanSpec extends SparkSpec {
       .findAllIn(plan).toSeq
     assert(plan.contains("LeftAnti"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"),
-      "anti join must stay an equi hash join despite the CASE key")
+      "anti join must stay an equi hash join despite the composite CASE key")
     // The rewrite itself: correctness end-to-end via mergeInto.
     val before = t.scan().count()
     val res = Merge.mergeInto(t, src.withColumn("__p", lit(0L)), "__p", "mp-m")
