@@ -49,6 +49,17 @@ class MergePlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "anti join must stay an equi hash join despite the composite CASE key")
+    // Catalyst constant-folds the composite (doc_id, flag) key into the
+    // IDEAL form: plain doc_id equi keys plus `(__part = h)` as a
+    // residual join condition — every row (hot or cold) hashes by real
+    // doc_id (no NULL-key skew partition), and cold rows survive the
+    // anti join because the residual never holds for them.
+    assert("LeftAnti, BuildRight, \\(__part".r.findFirstIn(plan).isDefined ||
+      plan.contains("__k"),
+      s"anti join must carry the hot-flag as residual or equi key:\n${plan.take(1200)}")
+    assert(!plan.contains("CASE WHEN") ||
+      !"""LeftAnti[^\n]*CASE WHEN""".r.findFirstIn(plan).isDefined,
+      "join keys must not contain a NULL-producing CASE expression")
     // The rewrite itself: correctness end-to-end via mergeInto.
     val before = t.scan().count()
     val res = Merge.mergeInto(t, src.withColumn("__p", lit(0L)), "__p", "mp-m")
