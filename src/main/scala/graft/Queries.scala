@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.TokenGen
-import graft.maintain.{Cluster, Compact, Expire, Merge}
+import graft.maintain.{Cluster, Compact, Delete, Expire, Merge}
 import graft.table.TokenTable
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -244,6 +244,38 @@ object Queries {
     Cluster.run(t, Cluster.ByDocId, "q-m2d", targetBytes = 64L * 1024)
     scanProjection(t.scan())
   }
+
+  /** M9 predicate DELETE via NATIVE SQL TEXT on a ByDocId-clustered
+    * table: the doc_id range term hits the clustered files' tight
+    * [min,max] stats (leading files drop metadata-only or rewrite at
+    * the boundary), the n_tok term forces residual row-level deletes
+    * inside overlapping files. Oracle: the base tokenization minus the
+    * predicate. DeleteSpec pins the three-way classification counts on
+    * a controlled layout; here only the row effect is asserted (file
+    * geometry varies with scale factor).
+    */
+  def m9DeleteSqlScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(spark, dir, "m9", commits = 4)
+    Cluster.run(t, Cluster.ByDocId, "q-m9-cluster", targetBytes = 64L * 1024)
+    val sql =
+      s"""DELETE FROM graft.`${t.location}`
+         |WHERE doc_id < 'doc_000000000100' OR n_tok > 88""".stripMargin
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val row = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(spark, plans.TokenTableResolution(spark)(parsed)).collect()(0)
+    require(row.getLong(1) > 0, "DELETE must remove rows")
+    require(t.currentVersion > 0, "DELETE must commit a snapshot")
+    scanProjection(t.scan())
+  }
+
+  val m9DeleteSql: String =
+    """SELECT printf('doc_%012d', doc_id) AS doc_id,
+      |       source,
+      |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |       CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'), w -> len(w))), 0) AS BIGINT) AS tok_sum
+      |FROM documents
+      |WHERE NOT (printf('doc_%012d', doc_id) < 'doc_000000000100'
+      |           OR len(regexp_extract_all(text, '\S+')) > 88)""".stripMargin
 
   /** M7 lineage metrics after a compaction job. The per-task breakdown
     * depends on bin planning (spec-tested in MaintainSpec), but the

@@ -10,11 +10,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
 /** Catalyst resolution rule: `SELECT ... FROM graft.`/path/to/table``
   * resolves to the TokenTable's current-snapshot scan,
   * `graft_v<N>.`/path`` time-travels to version N, and
-  * `MERGE INTO graft.`/path`` compiles to [[GraftMergeCommand]] — so
-  * both read and upsert SQL text reach the table format without a full
-  * DSv2 catalog (SURVEY.md §4.2 lists the DSv2 catalog as a stretch
-  * goal; this rule is the Catalyst-native middle step and exercises the
-  * `Rule[LogicalPlan]` extension point).
+  * `MERGE INTO graft.`/path`` compiles to [[GraftMergeCommand]], and
+  * `DELETE FROM graft.`/path` WHERE ...` to [[GraftDeleteCommand]] — so
+  * read, upsert and row-delete SQL text all reach the table format
+  * without a full DSv2 catalog (SURVEY.md §4.2 lists the DSv2 catalog
+  * as a stretch goal; this rule is the Catalyst-native middle step and
+  * exercises the `Rule[LogicalPlan]` extension point).
   *
   * Injected via [[graft.GraftExtensions]] (`injectResolutionRule`).
   * Traversal is TOP-DOWN: a MergeIntoTable must convert as a whole
@@ -25,6 +26,15 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   private val Versioned = "graft_v(\\d+)".r
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+      stripAlias(d.table) match {
+        case UnresolvedRelation(Seq(ns, path), _, _) if ns == "graft" && TokenTable.exists(path) =>
+          convertDelete(d.condition, path)
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+            if r.table.isInstanceOf[graft.sql.GraftTable] =>
+          convertDelete(d.condition, r.table.asInstanceOf[graft.sql.GraftTable].location)
+        case _ => d
+      }
     case m: MergeIntoTable =>
       stripAlias(m.targetTable) match {
         case UnresolvedRelation(Seq(ns, path), _, _) if ns == "graft" && TokenTable.exists(path) =>
@@ -102,6 +112,29 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     if (m.notMatchedBySourceActions.nonEmpty)
       bad("not-matched-by-source clauses are unsupported")
     GraftMergeCommand(path, m.sourceTable)
+  }
+
+  /** `DELETE FROM graft.\`path\` WHERE cond` → [[GraftDeleteCommand]].
+    * The stored condition must be RESOLVED (the analyzer rejects a
+    * command carrying unresolved expressions), so it is bound here
+    * against the table's own scan — re-anchored by name first, because
+    * a catalog session's analyzer may already have bound it to the DSv2
+    * relation's attribute ids. Unknown columns fail loudly here, at
+    * analysis time.
+    */
+  private def convertDelete(condition: org.apache.spark.sql.catalyst.expressions.Expression,
+      path: String): LogicalPlan = {
+    val byName = condition.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        UnresolvedAttribute(Seq(a.name))
+    }
+    val bound = TokenTable.open(spark, path).scan()
+      .filter(org.apache.spark.sql.GraftSqlBridge.column(byName))
+      .queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .getOrElse(throw new IllegalStateException(
+        s"DELETE FROM graft.`$path`: condition did not analyze to a filter"))
+    GraftDeleteCommand(path, bound)
   }
 
   /** `MERGE INTO x AS t` parses the target as SubqueryAlias(t, rel). */

@@ -62,7 +62,7 @@ class ManifestFileIndex(
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val preds = dataFilters // partitionFilters are empty: unpartitioned relation
     val kept = streamFiles()
-      .filter(f => preds.forall(p => mightMatch(p, f)))
+      .filter(f => preds.forall(p => ManifestFileIndex.mightMatch(p, f)))
       .map(status)
       .toArray
     Seq(PartitionDirectory(InternalRow.empty, kept.toSeq))
@@ -72,6 +72,14 @@ class ManifestFileIndex(
     streamFiles().map(f => s"$location/${f.path}").toArray
 
   override lazy val sizeInBytes: Long = streamFiles().map(_.bytes).sum
+}
+
+/** The stats-vs-predicate decision procedures, shared by the scan path
+  * ([[ManifestFileIndex.listFiles]]) and the maintenance planners
+  * ([[graft.maintain.Delete]]) so there is exactly ONE implementation
+  * of "can this file's [min,max] interact with this predicate".
+  */
+object ManifestFileIndex {
 
   // ------------------------------------------------- predicate pruning
 
@@ -81,7 +89,7 @@ class ManifestFileIndex(
     * file). Unknown predicate shapes — including Not, whose operand's
     * conservative answer cannot be negated — keep the file.
     */
-  private def mightMatch(e: Expression, f: DataFile): Boolean = e match {
+  def mightMatch(e: Expression, f: DataFile): Boolean = e match {
     case And(l, r) => mightMatch(l, f) && mightMatch(r, f)
     case Or(l, r) => mightMatch(l, f) || mightMatch(r, f)
     case EqualTo(a: AttributeReference, Literal(v, _)) => rangeContains(a.name, f, v, v)
@@ -149,5 +157,73 @@ class ManifestFileIndex(
         f.minNtok > f.maxNtok ||
           (if (strict) f.minNtok < n.longValue else f.minNtok <= n.longValue)
       case _ => true
+    }
+
+  // --------------------------------------------- whole-file certainty
+
+  /** True only if EVERY row in the file provably satisfies the
+    * predicate — the dual of [[mightMatch]], used by DELETE to drop a
+    * file metadata-only (no read, no rewrite). Conservative the other
+    * way round: false negatives cost a rewrite of a file whose rows all
+    * matched anyway; a false positive would delete surviving rows, so
+    * unknown shapes return false. Token-schema columns are non-null, so
+    * "every row satisfies col-vs-literal" reduces to the file's WHOLE
+    * [min,max] range lying inside the predicate's accepting set.
+    */
+  def mustMatchAll(e: Expression, f: DataFile): Boolean = e match {
+    case Literal(true, _) => true // unconditional DELETE: drop metadata-only
+    case And(l, r) => mustMatchAll(l, f) && mustMatchAll(r, f)
+    case Or(l, r) => mustMatchAll(l, f) || mustMatchAll(r, f)
+    case EqualTo(a: AttributeReference, Literal(v, _)) => wholeRangeIs(a.name, f, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) => wholeRangeIs(a.name, f, v)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => wholeAbove(a.name, f, v, strict = true)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => wholeAbove(a.name, f, v, strict = false)
+    case LessThan(a: AttributeReference, Literal(v, _)) => wholeBelow(a.name, f, v, strict = true)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => wholeBelow(a.name, f, v, strict = false)
+    case GreaterThan(Literal(v, _), a: AttributeReference) => wholeBelow(a.name, f, v, strict = true)
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => wholeBelow(a.name, f, v, strict = false)
+    case LessThan(Literal(v, _), a: AttributeReference) => wholeAbove(a.name, f, v, strict = true)
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => wholeAbove(a.name, f, v, strict = false)
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      // All rows in [min,max]; certain only when the range is a single
+      // point equal to one of the literals.
+      vs.exists { case Literal(v, _) => wholeRangeIs(a.name, f, v) }
+    case StartsWith(a: AttributeReference, Literal(p: UTF8String, _)) =>
+      // If min and max both carry the prefix, every value between them
+      // does too (byte order pins the first |p| bytes).
+      stringRange(a.name, f).exists { case (lo, hi) =>
+        truncate(lo, p.numBytes).equals(p) && truncate(hi, p.numBytes).equals(p)
+      }
+    case IsNotNull(_) => true // token schema is non-null throughout
+    case _ => false
+  }
+
+  private def wholeRangeIs(col: String, f: DataFile, v: Any): Boolean =
+    wholeAbove(col, f, v, strict = false) && wholeBelow(col, f, v, strict = false)
+
+  /** Is every value in the file > v (strict) / >= v — i.e. min above v? */
+  private def wholeAbove(col: String, f: DataFile, v: Any, strict: Boolean): Boolean =
+    v match {
+      case u: UTF8String => stringRange(col, f).exists { case (lo, _) =>
+        if (strict) lo.compareTo(u) > 0 else lo.compareTo(u) >= 0
+      }
+      case n: Number if col == "n_tok" =>
+        // The no-stats sentinel (minNtok > maxNtok) means nothing is
+        // provable about the file's values: never certain.
+        f.minNtok <= f.maxNtok &&
+          (if (strict) f.minNtok > n.longValue else f.minNtok >= n.longValue)
+      case _ => false
+    }
+
+  /** Is every value in the file < v (strict) / <= v — i.e. max below v? */
+  private def wholeBelow(col: String, f: DataFile, v: Any, strict: Boolean): Boolean =
+    v match {
+      case u: UTF8String => stringRange(col, f).exists { case (_, hi) =>
+        if (strict) hi.compareTo(u) < 0 else hi.compareTo(u) <= 0
+      }
+      case n: Number if col == "n_tok" =>
+        f.minNtok <= f.maxNtok &&
+          (if (strict) f.maxNtok < n.longValue else f.maxNtok <= n.longValue)
+      case _ => false
     }
 }

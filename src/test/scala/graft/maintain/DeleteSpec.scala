@@ -1,0 +1,169 @@
+package graft.maintain
+
+import graft.SparkSpec
+import graft.ingest.TokenGen
+import graft.table.{DataFile, ManifestFileIndex, TokenTable}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.functions._
+
+/** M9 predicate DELETE: three-way file classification (untouched /
+  * metadata-only drop / copy-on-write rewrite), doc_id-list deletes on
+  * both the inline-IN and anti-join paths, SQL text end-to-end, and the
+  * soundness edges of [[ManifestFileIndex.mustMatchAll]].
+  */
+class DeleteSpec extends SparkSpec {
+
+  private def clustered(prefix: String, rows: Int = 2400): TokenTable = {
+    val dir = tmpDir(prefix)
+    val t = TokenTable.create(spark, dir)
+    (0 until 8).foreach { i =>
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, rows / 8, idOffset = i * (rows / 8).toLong, numPartitions = 2)))
+    }
+    Cluster.run(t, Cluster.ByDocId, s"$prefix-cluster", targetBytes = 64L * 1024)
+    t
+  }
+
+  test("delete: doc_id range on clustered table exercises all three classes") {
+    val t = clustered("del3way")
+    val total = t.scan().count()
+    val files = t.filesLocal(t.current).sortBy(_.minDocId)
+    assert(files.size >= 4, s"need several clustered files, got ${files.size}")
+    // Cut strictly inside the SECOND file's range: file 1 drops whole,
+    // file 2 rewrites at the boundary, the tail stays untouched.
+    val cut = files(1).maxDocId // inclusive: delete doc_id <= cut
+    val expectDeleted = t.scan().where(col("doc_id") <= cut).count()
+    assert(expectDeleted > 0 && expectDeleted < total)
+
+    val res = Delete.deleteWhere(t, col("doc_id") <= lit(cut), "del3way-job")
+    assert(res.droppedFiles >= 1, s"leading files must drop metadata-only: $res")
+    assert(res.rewrittenFiles >= 1 || files(1).maxDocId == cut,
+      s"boundary file should rewrite: $res")
+    assert(res.untouchedFiles >= 1, s"tail files must survive verbatim: $res")
+    assert(res.deletedRows == expectDeleted)
+    assert(t.scan().count() == total - expectDeleted)
+    assert(t.scan().where(col("doc_id") <= cut).count() == 0)
+    // Rewritten bytes track only the boundary file(s), not the table.
+    assert(res.rewrittenBytes < files.map(_.bytes).sum / 2)
+  }
+
+  test("delete: state of survivors is byte-identical (checksum invariant)") {
+    val t = clustered("delinv", rows = 1600)
+    val keep = checksum(t.scan().where(col("n_tok") <= 100))
+    Delete.deleteWhere(t, col("n_tok") > 100, "delinv-job")
+    assert(checksum(t.scan()) == keep,
+      "surviving rows must be byte-identical after DELETE")
+  }
+
+  test("delete: no-op predicate commits nothing") {
+    val t = clustered("delnoop", rows = 800)
+    val v = t.currentVersion
+    val res = Delete.deleteWhere(t, col("doc_id") === "absent", "delnoop-job")
+    assert(res.deletedRows == 0L && res.droppedFiles == 0 && res.rewrittenFiles == 0)
+    assert(t.currentVersion == v, "no-op DELETE must not commit a snapshot")
+  }
+
+  test("delete: unconditional TRUE predicate drops every file metadata-only") {
+    val t = clustered("delall", rows = 800)
+    val res = Delete.deleteWhere(t, lit(true), "delall-job")
+    assert(res.rewrittenFiles == 0, s"TRUE delete must not rewrite: $res")
+    assert(res.droppedFiles > 0 && res.untouchedFiles == 0)
+    assert(t.scan().count() == 0)
+  }
+
+  test("deleteByDocIds: inline path prunes to the listed ids' files") {
+    val t = clustered("delids")
+    val total = t.scan().count()
+    val ids = t.scan().select("doc_id").orderBy("doc_id").limit(25)
+    val res = Delete.deleteByDocIds(t, ids, "delids-job")
+    assert(res.deletedRows == 25)
+    assert(res.untouchedFiles > 0, "range-disjoint files must not be touched")
+    assert(t.scan().count() == total - 25)
+  }
+
+  test("deleteByDocIds: anti-join path (list above inline threshold)") {
+    val t = clustered("delbig")
+    val total = t.scan().count()
+    val ids = t.scan().select("doc_id").orderBy("doc_id").limit(40)
+    val res = Delete.deleteByDocIds(t, ids, "delbig-job", inlineLimit = 10)
+    assert(res.deletedRows == 40)
+    assert(t.scan().count() == total - 40)
+    assert(t.scan().join(ids, Seq("doc_id"), "left_semi").count() == 0)
+  }
+
+  test("SQL DELETE FROM graft.`path` via injected extensions") {
+    val t = clustered("delsql", rows = 800)
+    val total = t.scan().count()
+    val parsed = spark.sessionState.sqlParser.parsePlan(
+      s"DELETE FROM graft.`${t.location}` WHERE n_tok >= 100")
+    val expect = t.scan().where(col("n_tok") >= 100).count()
+    assert(expect > 0)
+    val row = GraftSqlBridge.ofRows(spark,
+      graft.plans.TokenTableResolution(spark)(parsed)).collect()(0)
+    assert(row.getLong(1) == expect, "command must report deleted rows")
+    assert(t.scan().count() == total - expect)
+    assert(t.scan().where(col("n_tok") >= 100).count() == 0)
+  }
+
+  // ------------------------- mustMatchAll soundness edges
+
+  private def df(minD: String, maxD: String, minN: Int = 1, maxN: Int = 9,
+      minS: String = "s", maxS: String = "s"): DataFile =
+    DataFile("f", 1L, 1L, minD, maxD, minN, maxN, 0L, minS, maxS)
+
+  private def cond(sql: String) = {
+    import spark.implicits._
+    // Resolve against the token schema the same way Delete does.
+    val probe = Seq(("a", Seq(1), 1, "s")).toDF("doc_id", "tokens", "n_tok", "source")
+    // Same normalization Delete.deleteWhere applies (LIKE → StartsWith).
+    org.apache.spark.sql.catalyst.optimizer.LikeSimplification(
+        probe.filter(expr(sql)).queryExecution.analyzed)
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse(sys.error("no filter"))
+  }
+
+  test("mustMatchAll: certain only when the whole range is inside the predicate") {
+    val e = cond("doc_id >= 'b' AND doc_id < 'd'")
+    assert(ManifestFileIndex.mustMatchAll(e, df("b", "c")))
+    assert(!ManifestFileIndex.mustMatchAll(e, df("a", "c")), "min below range")
+    assert(!ManifestFileIndex.mustMatchAll(e, df("b", "d")), "max at open bound")
+    assert(ManifestFileIndex.mightMatch(e, df("a", "c")))
+
+    // IN: certain only for a point range equal to a listed value.
+    val in = cond("doc_id IN ('x', 'y')")
+    assert(ManifestFileIndex.mustMatchAll(in, df("x", "x")))
+    assert(!ManifestFileIndex.mustMatchAll(in, df("x", "y")),
+      "range spanning two IN values holds unlisted values between them")
+
+    // StartsWith: both endpoints carrying the prefix pins every row.
+    val sw = cond("doc_id LIKE 'ab%'")
+    assert(ManifestFileIndex.mustMatchAll(sw, df("abc", "abz")))
+    assert(!ManifestFileIndex.mustMatchAll(sw, df("ab", "ac")))
+
+    // Unknown shapes are never certain.
+    assert(!ManifestFileIndex.mustMatchAll(cond("length(doc_id) = 1"), df("a", "a")))
+  }
+
+  test("mustMatchAll: no-stats n_tok sentinel is never certain") {
+    val e = cond("n_tok < 100")
+    assert(!ManifestFileIndex.mustMatchAll(e, df("a", "b", minN = Int.MaxValue,
+      maxN = Int.MinValue)), "sentinel stats prove nothing")
+    assert(ManifestFileIndex.mightMatch(e, df("a", "b", minN = Int.MaxValue,
+      maxN = Int.MinValue)), "sentinel stats must keep the file")
+  }
+
+  test("mustMatchAll: UTF8 byte order on supplementary-plane bounds") {
+    // U+FFFF ("￿") < U+10000 ("𐀀") in UTF8 byte order,
+    // but the Java-String order INVERTS them. A file spanning
+    // [U+FFFF, U+10000] must be certain for doc_id >= U+FFFF only under
+    // byte order.
+    val lo = "￿"
+    val hi = new String(Character.toChars(0x10000))
+    val e = cond(s"doc_id >= '$lo'")
+    assert(ManifestFileIndex.mustMatchAll(e, df(lo, hi)))
+    val e2 = cond(s"doc_id <= '$lo'")
+    assert(!ManifestFileIndex.mustMatchAll(e2, df(lo, hi)),
+      "file holds U+10000 which is above U+FFFF in byte order")
+  }
+}

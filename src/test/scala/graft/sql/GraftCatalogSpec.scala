@@ -151,6 +151,14 @@ class GraftCatalogSpec extends SparkSpec {
       // (both injected by the same extensions class).
       assert(s2.sql("SELECT z_interleave(1L, 2L, 3L)").head().getLong(0) ==
         graft.functions.Keys.zInterleave(Array(1L, 2L, 3L), 20))
+      // DELETE through the same catalog-resolved relation, plain SQL:
+      // the analyzer binds doc_id to the DSv2 relation; the rule
+      // re-anchors it and routes through Delete.deleteWhere.
+      val del = s2.sql(
+        s"DELETE FROM graft.`$loc` WHERE doc_id >= 'doc_z_'").collect()(0)
+      assert(del.getLong(1) == 5L, s"DELETE must report 5 rows, got $del")
+      assert(t.scan().count() == 100)
+      assert(t.scan().filter($"doc_id".startsWith("doc_z_")).count() == 0)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
