@@ -268,6 +268,42 @@ object Queries {
     scanProjection(t.scan())
   }
 
+  /** M9 predicate UPDATE via NATIVE SQL TEXT: retag one source's docs
+    * and truncate their token arrays — the "re-label and redact a bad
+    * crawl slice" shape. The n_tok term in the WHERE exercises stats
+    * pruning on the non-key column; assignments reference existing
+    * columns (`slice(tokens, ...)`), proving value expressions bind to
+    * the row. Oracle: the same transformation in SQL over the base
+    * tokenization.
+    */
+  def m9UpdateSqlScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = buildTable(spark, dir, "m9u", commits = 4)
+    Cluster.run(t, Cluster.ByDocId, "q-m9u-cluster", targetBytes = 64L * 1024)
+    val sql =
+      s"""UPDATE graft.`${t.location}`
+         |SET source = 'retagged', tokens = slice(tokens, 1, 5),
+         |    n_tok = least(n_tok, 5)
+         |WHERE source = 'src3' AND n_tok > 20""".stripMargin
+    val parsed = spark.sessionState.sqlParser.parsePlan(sql)
+    val row = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(spark, plans.TokenTableResolution(spark)(parsed)).collect()(0)
+    require(row.getLong(1) > 0, "UPDATE must touch rows")
+    scanProjection(t.scan())
+  }
+
+  val m9UpdateSql: String =
+    """WITH toks AS (
+      |  SELECT printf('doc_%012d', doc_id) AS doc_id, source AS src0,
+      |         list_transform(regexp_extract_all(text, '\S+'), w -> len(w)) AS toks0,
+      |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS nt0
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN src0 = 'src3' AND nt0 > 20 THEN 'retagged' ELSE src0 END AS source,
+      |       CASE WHEN src0 = 'src3' AND nt0 > 20 THEN least(nt0, 5) ELSE nt0 END AS n_tok,
+      |       CAST(coalesce(list_sum(CASE WHEN src0 = 'src3' AND nt0 > 20
+      |              THEN toks0[1:5] ELSE toks0 END), 0) AS BIGINT) AS tok_sum
+      |FROM toks""".stripMargin
+
   val m9DeleteSql: String =
     """SELECT printf('doc_%012d', doc_id) AS doc_id,
       |       source,

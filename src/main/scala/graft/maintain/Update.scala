@@ -1,0 +1,104 @@
+package graft.maintain
+
+import graft.lineage.Lineage
+import graft.table.{DataFile, ManifestFileIndex, Snapshot, TokenTable}
+import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+/** Predicate UPDATE (M9, with [[Delete]]) — in-place column rewrite as
+  * copy-on-write, completing the row-level DML triad (MERGE upserts,
+  * DELETE removes, UPDATE edits in place: re-tokenize a source's
+  * sequences, patch a mislabeled `source` tag, zero out token spans).
+  *
+  * Same manifest-stats planning as DELETE, minus the metadata-only
+  * class (an update always materializes new bytes): files the predicate
+  * provably cannot touch ([[ManifestFileIndex.mightMatch]] = false)
+  * survive verbatim; every other file rewrites with each assignment
+  * applied under `CASE WHEN pred THEN new ELSE old END` — one read, one
+  * write, no shuffle, no join. Clustering (M2) bounds the touch set for
+  * doc_id/source/n_tok-ranged predicates exactly as it does for scans.
+  *
+  * `doc_id` itself is not assignable: it is the clustering / merge key,
+  * and rewriting it inside files would silently break every [min,max]
+  * pruning invariant the engine relies on — use DELETE + append (or
+  * MERGE) for identity changes.
+  */
+object Update {
+
+  case class Result(snapshot: Snapshot, rewrittenFiles: Int,
+      untouchedFiles: Long, updatedRows: Long, rewrittenBytes: Long)
+
+  /** Apply `assignments` (column name -> new value expression) to every
+    * row satisfying `predicate`. Returns the parent snapshot unchanged
+    * when no file can hold a matching row.
+    */
+  def updateWhere(table: TokenTable, assignments: Seq[(String, Column)],
+      predicate: Column, jobId: String): Result = {
+    val spark = table.spark
+    val parent = table.current
+    val assignable = table.schema.fieldNames.toSet - "doc_id"
+    assignments.foreach { case (name, _) =>
+      require(assignable.contains(name),
+        s"UPDATE cannot assign `$name` (doc_id is the clustering key; " +
+          s"assignable columns: ${assignable.mkString(", ")})")
+    }
+
+    // Resolve + normalize the predicate exactly as Delete does, so the
+    // planner sees the shapes the file classifier recognizes.
+    val analyzed = table.scan(parent).filter(predicate).queryExecution.analyzed
+    val simplified = org.apache.spark.sql.catalyst.optimizer.LikeSimplification(
+      org.apache.spark.sql.catalyst.optimizer.ConstantFolding(analyzed))
+    val cond: Expression =
+      simplified.collectFirst { case f: Filter => f.condition }
+        .getOrElse(sys.error(s"unexpected analyzed update plan: $simplified"))
+
+    var untouched = 0L
+    val rewrite = Seq.newBuilder[DataFile]
+    table.filesStream(parent).foreach { f =>
+      if (ManifestFileIndex.mightMatch(cond, f)) rewrite += f else untouched += 1
+    }
+    val rw = rewrite.result()
+    if (rw.isEmpty) return Result(parent, 0, untouched, 0L, 0L)
+
+    val paths = rw.map(f => s"${table.location}/${f.path}")
+    val touched = spark.read.schema(table.schema).parquet(paths: _*)
+    // Matched-row count over the touched files only (they are about to
+    // be re-read for the rewrite; at most the touch set is scanned
+    // twice, never the table).
+    val updatedRows = touched.filter(predicate).count()
+    // ONE simultaneous projection — SQL UPDATE semantics: every
+    // assignment RHS and the predicate see the ORIGINAL row (a
+    // sequential withColumn chain would let `SET source = 'x'` flip a
+    // `WHERE source = 'y'` predicate to false before the next
+    // assignment evaluates).
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      "duplicate assignment targets")
+    val byName = assignments.toMap
+    val rewritten = touched.select(table.schema.fieldNames.toIndexedSeq.map { n =>
+      byName.get(n) match {
+        case Some(v) => F.when(predicate, v).otherwise(F.col(n)).as(n)
+        case None => F.col(n)
+      }
+    }: _*)
+    val out = table.writeDataFilesTo(rewritten, s"data/$jobId-v${parent.version}",
+      overwrite = true, sortBy = Some("doc_id"))
+
+    Lineage.completeTask(table, Lineage.TaskRecord(
+      jobId, "update", rw.map(_.path), out,
+      rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
+      status = "done", durationMs = 0L))
+
+    val removed = rw.map(_.path).toSet
+    val manifest = table.writeSurvivorManifest(parent, removed, out)
+    val snap = table.commit(Some(parent), "update",
+      addManifests = Seq(manifest), keepManifests = Nil,
+      removedPaths = removed,
+      summary = Map(
+        "updated-rows" -> updatedRows.toString,
+        "rewritten-files" -> rw.size.toString,
+        "untouched-files" -> untouched.toString,
+        "rewritten-bytes" -> rw.map(_.bytes).sum.toString))
+    Result(snap, rw.size, untouched, updatedRows, rw.map(_.bytes).sum)
+  }
+}

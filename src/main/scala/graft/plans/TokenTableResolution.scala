@@ -35,6 +35,15 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           convertDelete(d.condition, r.table.asInstanceOf[graft.sql.GraftTable].location)
         case _ => d
       }
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+      stripAlias(u.table) match {
+        case UnresolvedRelation(Seq(ns, path), _, _) if ns == "graft" && TokenTable.exists(path) =>
+          convertUpdate(u, path)
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+            if r.table.isInstanceOf[graft.sql.GraftTable] =>
+          convertUpdate(u, r.table.asInstanceOf[graft.sql.GraftTable].location)
+        case _ => u
+      }
     case m: MergeIntoTable =>
       stripAlias(m.targetTable) match {
         case UnresolvedRelation(Seq(ns, path), _, _) if ns == "graft" && TokenTable.exists(path) =>
@@ -135,6 +144,51 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(throw new IllegalStateException(
         s"DELETE FROM graft.`$path`: condition did not analyze to a filter"))
     GraftDeleteCommand(path, bound)
+  }
+
+  /** `UPDATE graft.\`path\` SET c = e, ... [WHERE cond]` →
+    * [[GraftUpdateCommand]]. Assignment values and the condition are
+    * bound against the table's scan (the analyzer rejects commands with
+    * unresolved expressions; Update re-anchors by name at run time).
+    * Assignment KEYS must be plain columns — and not doc_id, which
+    * [[graft.maintain.Update]] rejects as the clustering key.
+    */
+  private def convertUpdate(u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable,
+      path: String): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.GraftSqlBridge
+    def keyName(e: org.apache.spark.sql.catalyst.expressions.Expression): String = e match {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case a: AttributeReference => a.name
+      case other => throw new UnsupportedOperationException(
+        s"UPDATE graft.`$path`: unsupported assignment target $other (plain columns only)")
+    }
+    def byName(e: org.apache.spark.sql.catalyst.expressions.Expression) = e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    }
+    val scan = TokenTable.open(spark, path).scan()
+    // Bind each value expression by projecting it over the scan.
+    val boundAssigns = u.assignments.map { a =>
+      val name = keyName(a.key)
+      val bound = scan.select(GraftSqlBridge.column(byName(a.value)).as("__v"))
+        .queryExecution.analyzed
+        .collectFirst {
+          case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+            p.projectList.head match {
+              case al: org.apache.spark.sql.catalyst.expressions.Alias => al.child
+              case e => e
+            }
+        }
+        .getOrElse(throw new IllegalStateException(
+          s"UPDATE graft.`$path`: assignment to `$name` did not analyze"))
+      name -> bound
+    }
+    val cond = u.condition.getOrElse(Literal.TrueLiteral)
+    val boundCond = scan.filter(GraftSqlBridge.column(byName(cond)))
+      .queryExecution.analyzed
+      .collectFirst { case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition }
+      .getOrElse(Literal.TrueLiteral)
+    GraftUpdateCommand(path, boundAssigns, boundCond)
   }
 
   /** `MERGE INTO x AS t` parses the target as SubqueryAlias(t, rel). */

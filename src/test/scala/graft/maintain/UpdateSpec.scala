@@ -1,0 +1,90 @@
+package graft.maintain
+
+import graft.SparkSpec
+import graft.ingest.TokenGen
+import graft.table.TokenTable
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.functions._
+
+/** M9 predicate UPDATE: stats-pruned copy-on-write column rewrite with
+  * simultaneous-assignment SQL semantics.
+  */
+class UpdateSpec extends SparkSpec {
+
+  private def clustered(prefix: String, rows: Int = 1600): TokenTable = {
+    val dir = tmpDir(prefix)
+    val t = TokenTable.create(spark, dir)
+    (0 until 8).foreach { i =>
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, rows / 8, idOffset = i * (rows / 8).toLong, numPartitions = 2)))
+    }
+    Cluster.run(t, Cluster.ByDocId, s"$prefix-cluster", targetBytes = 64L * 1024)
+    t
+  }
+
+  test("update: doc_id-ranged predicate rewrites only the touched files") {
+    val t = clustered("updprune")
+    val files = t.filesLocal(t.current).sortBy(_.minDocId)
+    assert(files.size >= 4)
+    val cut = files.head.maxDocId
+    val expect = t.scan().where(col("doc_id") <= cut).count()
+    val res = Update.updateWhere(t,
+      Seq("source" -> lit("patched")), col("doc_id") <= lit(cut), "updprune-job")
+    assert(res.updatedRows == expect && expect > 0)
+    assert(res.untouchedFiles >= files.size - 2,
+      s"tail files must not rewrite: $res of ${files.size}")
+    assert(t.scan().where(col("source") === "patched").count() == expect)
+    assert(t.scan().count() == 1600, "UPDATE must not change row count")
+  }
+
+  test("update: all assignments see the ORIGINAL row (simultaneous semantics)") {
+    val t = clustered("updsim", rows = 800)
+    // SET source = 'x', n_tok = 0 WHERE source = <original>: if the
+    // source assignment applied first, the n_tok assignment's predicate
+    // would no longer match and n_tok would keep its old value.
+    val orig = t.scan().select("source").head().getString(0)
+    val expect = t.scan().where(col("source") === orig).count()
+    val res = Update.updateWhere(t,
+      Seq("source" -> lit("swapped"), "n_tok" -> lit(0)),
+      col("source") === orig, "updsim-job")
+    assert(res.updatedRows == expect)
+    assert(t.scan().where(col("source") === "swapped" && col("n_tok") === 0)
+      .count() == expect,
+      "both assignments must land on every matched row")
+  }
+
+  test("update: assignment RHS can reference the row's own columns") {
+    val t = clustered("updself", rows = 800)
+    val before = t.scan().agg(sum(col("n_tok").cast("long"))).head().getLong(0)
+    Update.updateWhere(t, Seq("n_tok" -> (col("n_tok") + lit(1))),
+      lit(true), "updself-job")
+    val after = t.scan().agg(sum(col("n_tok").cast("long"))).head().getLong(0)
+    assert(after == before + 800, "n_tok := n_tok + 1 over every row")
+  }
+
+  test("update: doc_id is not assignable; no-op predicate commits nothing") {
+    val t = clustered("updkey", rows = 800)
+    intercept[IllegalArgumentException] {
+      Update.updateWhere(t, Seq("doc_id" -> lit("x")), lit(true), "updkey-job")
+    }
+    val v = t.currentVersion
+    val res = Update.updateWhere(t, Seq("source" -> lit("x")),
+      col("doc_id") === "absent", "updnoop-job")
+    assert(res.updatedRows == 0L && t.currentVersion == v)
+  }
+
+  test("SQL UPDATE graft.`path` SET ... WHERE ... (manual rule application)") {
+    val t = clustered("updsql", rows = 800)
+    val expect = t.scan().where(col("n_tok") > 100).count()
+    assert(expect > 0)
+    val parsed = spark.sessionState.sqlParser.parsePlan(
+      s"UPDATE graft.`${t.location}` SET tokens = slice(tokens, 1, 3), " +
+        "n_tok = 3 WHERE n_tok > 100")
+    val row = GraftSqlBridge.ofRows(spark,
+      graft.plans.TokenTableResolution(spark)(parsed)).collect()(0)
+    assert(row.getLong(1) == expect)
+    assert(t.scan().where(col("n_tok") > 100).count() == 0)
+    assert(t.scan().where(col("n_tok") === 3 && size(col("tokens")) === 3)
+      .count() >= expect, "updated rows carry the truncated arrays")
+  }
+}

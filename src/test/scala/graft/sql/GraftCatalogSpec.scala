@@ -159,6 +159,11 @@ class GraftCatalogSpec extends SparkSpec {
       assert(del.getLong(1) == 5L, s"DELETE must report 5 rows, got $del")
       assert(t.scan().count() == 100)
       assert(t.scan().filter($"doc_id".startsWith("doc_z_")).count() == 0)
+      // UPDATE through the catalog relation, same binding path.
+      val upd = s2.sql(
+        s"UPDATE graft.`$loc` SET source = 'u' WHERE n_tok = 3").collect()(0)
+      assert(upd.getLong(1) == 10L, s"UPDATE must report the 10 merged rows, got $upd")
+      assert(t.scan().filter($"source" === "u").count() == 10)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
