@@ -152,6 +152,18 @@ object Bench {
           sum(pmod(xxhash64(col("doc_id"), col("tokens")), lit(1000000007L)))).head()
       }
       require(fullChecksum.getLong(0) == tokens, "scan disagreement")
+      // Row-level DELETE (M9) as the final phase — AFTER both scans, so
+      // every earlier phase measures the identical table state it did
+      // in prior rounds' artifacts. 2% of the keyspace by doc_id range:
+      // post-Z-order the range prunes against file stats, the boundary
+      // files rewrite copy-on-write.
+      ctimed("ns_delete") {
+        val lo = f"doc_${benchRows / 4}%012d"
+        val hi = f"doc_${benchRows / 4 + benchRows / 50}%012d"
+        val res = graft.maintain.Delete.deleteWhere(t,
+          col("doc_id") >= lo && col("doc_id") < hi, "bench-delete")
+        require(res.deletedRows > 0, "bench delete removed nothing")
+      }
       wipe(loc) // keep tmpfs flat across reps
       Cycle(cycleTimes.toMap, tokens, bytesIn)
     }
@@ -168,7 +180,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val phaseNames = Seq("ns_ingest", "ns_compact", "ns_zorder", "ns_merge",
-      "ns_expire", "ns_scan", "ns_scan_full")
+      "ns_expire", "ns_scan", "ns_scan_full", "ns_delete")
     val phaseRuns: Map[String, Seq[Double]] =
       phaseNames.map(p => p -> cycles.map(_.times(p))).toMap
     phaseNames.foreach(p => times(p) = median(phaseRuns(p)))
@@ -179,7 +191,8 @@ object Bench {
         "dedup_ngram_jaccard", "sim_bruteforce_topk", "sim_lsh_ann",
         "sim_ivf_ann", "dedup_embedding", "multimodal_features",
         "dedup_clusters", "corpus_pack", "corpus_quality_filter",
-        "dedup_lines", "corpus_vocab", "text_scrub", "corpus_pipeline_e2e")) {
+        "dedup_lines", "corpus_vocab", "text_scrub", "text_line_dedup_doc",
+        "text_lm_perplexity", "corpus_domain_mix", "corpus_pipeline_e2e")) {
       timed(name) {
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>
