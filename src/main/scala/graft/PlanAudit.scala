@@ -146,6 +146,42 @@ object PlanAudit {
           | AND (CASE WHEN t.__part = 'h' THEN 0 ELSE 1 END) = s.__k""".stripMargin)
     }
 
+    // Row-level DML (M9): a doc_id-range DELETE on a ByDocId-clustered
+    // table must report all three file classes (planning is pure
+    // metadata — no join, no shuffle), and the UPDATE rewrite must be a
+    // scan-stage projection over the touched files only.
+    {
+      println(s"\n========== row-level DML (3-way classification + scan-stage rewrite) ==========")
+      val loc3 = s"${System.getProperty("java.io.tmpdir")}/graft_planaudit_dml"
+      Bench.wipeDir(loc3)
+      val t3 = TokenTable.create(spark, loc3)
+      (0 until 8).foreach { i =>
+        t3.append(TokenGen.asTokenRows(TokenGen.generate(
+          spark, 300, idOffset = i * 300L, numPartitions = 2)))
+      }
+      graft.maintain.Cluster.run(t3, graft.maintain.Cluster.ByDocId,
+        "pa-dml-cluster", targetBytes = 64L * 1024)
+      val files = t3.filesLocal(t3.current).sortBy(_.minDocId)
+      val cut = files(1).maxDocId
+      val del = graft.maintain.Delete.deleteWhere(
+        t3, $"doc_id" <= cut, "pa-dml-del")
+      println(s"DELETE doc_id <= $cut over ${files.size} files: " +
+        s"dropped=${del.droppedFiles} rewritten=${del.rewrittenFiles} " +
+        s"untouched=${del.untouchedFiles} rows=${del.deletedRows} " +
+        s"rewrittenBytes=${del.rewrittenBytes} of ${files.map(_.bytes).sum}")
+      val upd = graft.maintain.Update.updateWhere(
+        t3, Seq("source" -> lit("patched")), $"n_tok" > 100, "pa-dml-upd")
+      println(s"UPDATE n_tok>100: rewritten=${upd.rewrittenFiles} " +
+        s"untouched=${upd.untouchedFiles} rows=${upd.updatedRows}")
+      // The rewrite plan itself: read touched files -> simultaneous
+      // projection -> write; shown via the equivalent projection.
+      section("update rewrite projection (single codegen span, no Exchange)") {
+        t3.scan().select($"doc_id",
+          when($"n_tok" > 100, lit("patched")).otherwise($"source").as("source"),
+          $"tokens", $"n_tok")
+      }
+    }
+
     spark.stop()
   }
 }
