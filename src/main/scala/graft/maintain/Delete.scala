@@ -42,7 +42,164 @@ import org.apache.spark.sql.catalyst.plans.logical.Filter
 object Delete {
 
   case class Result(snapshot: Snapshot, droppedFiles: Int, rewrittenFiles: Int,
-      untouchedFiles: Long, deletedRows: Long, rewrittenBytes: Long)
+      untouchedFiles: Long, deletedRows: Long, rewrittenBytes: Long,
+      decodedBytes: Long = 0L, coldCopiedBytes: Long = 0L)
+
+  /** doc_id COVER of a predicate: sorted disjoint string intervals
+    * (None endpoint = unbounded) containing every doc_id a matching row
+    * could possibly have; `None` overall = cannot bound (predicate
+    * involves other columns only, or an unrecognized shape). Used to
+    * drive the same row-group-level cold copy MERGE uses: a row group
+    * whose doc_id [min,max] intersects no cover interval provably holds
+    * no matching row, so its bytes carry into the new snapshot verbatim.
+    * Over-approximation is sound (extra decode); an under-approximation
+    * would resurrect deleted rows, so unknown shapes widen to None.
+    */
+  private[maintain] type Iv = (Option[String], Option[String])
+
+  private[maintain] def docIdCover(e: Expression): Option[Seq[Iv]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.unsafe.types.UTF8String
+    def doc(a: Expression): Boolean = a match {
+      case r: AttributeReference => r.name == "doc_id"
+      case _ => false
+    }
+    def s(v: Any): String = v.asInstanceOf[UTF8String].toString
+    e match {
+      case And(l, r) => (docIdCover(l), docIdCover(r)) match {
+        case (None, x) => x
+        case (x, None) => x
+        case (Some(a), Some(b)) => Some(intersectIvs(a, b))
+      }
+      case Or(l, r) =>
+        for (a <- docIdCover(l); b <- docIdCover(r)) yield normalizeIvs(a ++ b)
+      case EqualTo(a, Literal(v, _)) if doc(a) => Some(Seq((Some(s(v)), Some(s(v)))))
+      case EqualTo(Literal(v, _), a) if doc(a) => Some(Seq((Some(s(v)), Some(s(v)))))
+      case GreaterThan(a, Literal(v, _)) if doc(a) => Some(Seq((Some(s(v)), None)))
+      case GreaterThanOrEqual(a, Literal(v, _)) if doc(a) => Some(Seq((Some(s(v)), None)))
+      case LessThan(a, Literal(v, _)) if doc(a) => Some(Seq((None, Some(s(v)))))
+      case LessThanOrEqual(a, Literal(v, _)) if doc(a) => Some(Seq((None, Some(s(v)))))
+      case GreaterThan(Literal(v, _), a) if doc(a) => Some(Seq((None, Some(s(v)))))
+      case GreaterThanOrEqual(Literal(v, _), a) if doc(a) => Some(Seq((None, Some(s(v)))))
+      case LessThan(Literal(v, _), a) if doc(a) => Some(Seq((Some(s(v)), None)))
+      case LessThanOrEqual(Literal(v, _), a) if doc(a) => Some(Seq((Some(s(v)), None)))
+      case In(a, vs) if doc(a) && vs.forall(_.isInstanceOf[Literal]) =>
+        Some(normalizeIvs(vs.map { case Literal(v, _) => (Some(s(v)), Some(s(v))): Iv }))
+      case StartsWith(a, Literal(p, _)) if doc(a) =>
+        // Byte-successor of a UTF-8 prefix is fiddly (may not decode);
+        // unbounded above is sound and still prunes everything below p.
+        Some(Seq((Some(s(p)), None)))
+      case _ => None
+    }
+  }
+
+  private val ord = graft.functions.Search.utf8Ordering
+  private def leLo(a: Option[String], b: Option[String]): Boolean = (a, b) match {
+    case (None, _) => true
+    case (_, None) => false
+    case (Some(x), Some(y)) => ord.lteq(x, y)
+  } // lower bounds: None = -inf
+  private def geHi(a: Option[String], b: Option[String]): Boolean = (a, b) match {
+    case (None, _) => true
+    case (_, None) => false
+    case (Some(x), Some(y)) => ord.gteq(x, y)
+  } // upper bounds: None = +inf
+
+  /** Sort by lower bound and merge overlapping intervals. */
+  private[maintain] def normalizeIvs(ivs: Seq[Iv]): Seq[Iv] = {
+    // Strict comparator (sortWith requires one): -inf first, then string order.
+    val sorted = ivs.sortWith((a, b) => (a._1, b._1) match {
+      case (None, None) => false
+      case (None, _) => true
+      case (_, None) => false
+      case (Some(x), Some(y)) => ord.lt(x, y)
+    })
+    val out = scala.collection.mutable.ArrayBuffer.empty[Iv]
+    sorted.foreach { iv =>
+      out.lastOption match {
+        // Overlap iff next.lo <= cur.hi (inclusive string intervals).
+        case Some((lo, hi)) if hi.isEmpty || iv._1.isEmpty ||
+            ord.lteq(iv._1.get, hi.get) =>
+          out(out.length - 1) = (lo, if (geHi(hi, iv._2)) hi else iv._2)
+        case _ => out += iv
+      }
+    }
+    out.toSeq
+  }
+
+  /** Pairwise intersection of two normalized interval sets. */
+  private[maintain] def intersectIvs(a: Seq[Iv], b: Seq[Iv]): Seq[Iv] =
+    normalizeIvs(for {
+      (alo, ahi) <- a; (blo, bhi) <- b
+      lo = if (leLo(alo, blo)) blo else alo
+      hi = if (geHi(ahi, bhi)) bhi else ahi
+      if lo.isEmpty || hi.isEmpty || ord.lteq(lo.get, hi.get)
+    } yield (lo, hi))
+
+  /** Result of row-group cold-copy planning over a copy-on-write DML
+    * rewrite's grazed files (shared by DELETE and UPDATE — MERGE has its
+    * own extent source). `fullyCold` files stay in the snapshot verbatim
+    * (the predicate provably touches none of their row groups despite
+    * the file-level stats saying "maybe" — possible when the file's
+    * [min,max] spans a gap between row groups); `coldFiles` are the
+    * bytewise column-chunk copies of cold runs inside mixed files;
+    * `decodeRels` is what the rewrite must actually decode.
+    */
+  private[maintain] case class ColdPlan(
+      splits: Seq[graft.table.RowGroupCopy.Split],
+      fullyCold: Seq[DataFile],
+      coldFiles: Seq[DataFile],
+      decodeRels: Seq[String],
+      decodedBytes: Long) {
+    def coldCopiedBytes: Long = coldFiles.map(_.bytes).sum
+    /** Hot extracts served only the rewrite; drop them eagerly (same
+      * policy as Merge — orphan GC would collect them, but leaving
+      * temporaries to GC hides bugs).
+      */
+    def dropHotExtracts(table: TokenTable, hotxDir: String): Unit =
+      if (splits.exists(s => !s.allCold && s.coldFiles.nonEmpty)) {
+        val hx = new org.apache.hadoop.fs.Path(s"${table.location}/$hotxDir")
+        hx.getFileSystem(table.spark.sessionState.newHadoopConf())
+          .delete(hx, true)
+      }
+  }
+
+  /** Plan the row-group-level cold copy for `rw` (the partially-matching
+    * files a DML rewrite would otherwise decode in full): when the
+    * predicate's doc_id COVER is boundable, row groups whose [min,max]
+    * intersect no cover interval provably hold no matching row and carry
+    * over as a bytewise column-chunk copy; only intersecting groups
+    * decode. Cost then tracks the PREDICATE'S RANGE, not the grazed
+    * files' full size. `gMin`/`gMax` (the table's global doc_id bounds)
+    * clamp unbounded cover ends; an unboundable cover degrades to
+    * decoding everything — sound, never wrong.
+    */
+  private[maintain] def planCold(table: TokenTable, cond: Expression,
+      rw: Seq[DataFile], gMin: String, gMax: String,
+      coldDir: String, hotxDir: String): ColdPlan = {
+    val cover: Option[Seq[Iv]] = docIdCover(cond)
+    val clamped: Seq[(String, String)] = cover match {
+      case Some(ivs) if gMin != null && gMax != null =>
+        ivs.map { case (lo, hi) => (lo.getOrElse(gMin), hi.getOrElse(gMax)) }
+          .filter { case (lo, hi) => ord.lteq(lo, hi) }
+      case _ => Nil
+    }
+    val splits: Seq[graft.table.RowGroupCopy.Split] =
+      if (rw.nonEmpty && cover.isDefined && clamped.nonEmpty)
+        graft.table.RowGroupCopy.planAll(table.spark, table.location,
+          rw.map(_.path), coldDir, hotxDir,
+          clamped.map(_._1).toArray, clamped.map(_._2).toArray)
+      else Nil
+    val byPath = rw.map(f => f.path -> f).toMap
+    if (splits.nonEmpty)
+      ColdPlan(splits,
+        fullyCold = splits.filter(_.allCold).map(s => byPath(s.origPath)),
+        coldFiles = splits.flatMap(_.coldFiles),
+        decodeRels = splits.flatMap(_.decodeRel),
+        decodedBytes = splits.map(_.decodeBytes).sum)
+    else
+      ColdPlan(Nil, Nil, Nil, rw.map(_.path), rw.map(_.bytes).sum)
+  }
 
   /** Delete every row satisfying `predicate` (over doc_id / tokens /
     * n_tok / source) from the table's current snapshot. Returns the
@@ -68,11 +225,16 @@ object Delete {
         .getOrElse(sys.error(s"unexpected analyzed delete plan: $simplified"))
 
     // One streamed classification pass; the driver retains only the
-    // dropped + rewritten file lists (the predicate's touch set).
+    // dropped + rewritten file lists (the predicate's touch set). The
+    // table's global doc_id bounds (for clamping unbounded cover ends)
+    // fall out of the same pass.
     var untouched = 0L
+    var gMin: String = null; var gMax: String = null
     val dropped = Seq.newBuilder[DataFile]
     val rewrite = Seq.newBuilder[DataFile]
     table.filesStream(parent).foreach { f =>
+      if (f.minDocId != null && (gMin == null || ord.lt(f.minDocId, gMin))) gMin = f.minDocId
+      if (f.maxDocId != null && (gMax == null || ord.gt(f.maxDocId, gMax))) gMax = f.maxDocId
       if (!ManifestFileIndex.mightMatch(cond, f)) untouched += 1
       else if (ManifestFileIndex.mustMatchAll(cond, f)) dropped += f
       else rewrite += f
@@ -83,14 +245,24 @@ object Delete {
     if (drop.isEmpty && rw.isEmpty)
       return Result(parent, 0, 0, untouched, 0L, 0L)
 
-    // Copy-on-write rewrite of partially-matching files only: read them
-    // directly (their row groups may additionally prune on the pushed
-    // NOT-predicate's bounds), keep survivors, preserve doc_id order
-    // within files.
+    // Row-group-level cold copy (same machinery as MERGE): decode only
+    // the groups the predicate's doc_id cover can touch.
+    val coldDir = s"data/$jobId-v${parent.version}-cold"
+    val hotxDir = s"data/$jobId-v${parent.version}-hotx"
+    val plan = planCold(table, cond, rw, gMin, gMax, coldDir, hotxDir)
+    import plan.{fullyCold, coldFiles, decodeRels, decodedBytes}
+
+    // Every grazed file fully cold and nothing drops: provably nothing
+    // to delete — commit nothing (same contract as the no-op predicate).
+    if (drop.isEmpty && decodeRels.isEmpty)
+      return Result(parent, 0, 0, untouched + rw.size, 0L, 0L)
+
+    // Copy-on-write rewrite of the decode set only: keep survivors,
+    // preserve doc_id order within files.
     val out: Seq[DataFile] =
-      if (rw.isEmpty) Nil
+      if (decodeRels.isEmpty) Nil
       else {
-        val paths = rw.map(f => s"${table.location}/${f.path}")
+        val paths = decodeRels.map(p => s"${table.location}/$p")
         val survivors = spark.read.schema(table.schema).parquet(paths: _*)
           .filter(!predicate)
         table.writeDataFilesTo(survivors, s"data/$jobId-v${parent.version}",
@@ -98,13 +270,16 @@ object Delete {
       }
 
     Lineage.completeTask(table, Lineage.TaskRecord(
-      jobId, "delete", (drop ++ rw).map(_.path), out,
-      rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
+      jobId, "delete", (drop ++ rw).map(_.path), coldFiles ++ out,
+      rows = (coldFiles ++ out).map(_.rows).sum,
+      tokenCount = (coldFiles ++ out).map(_.sumNtok).sum,
       status = "done", durationMs = 0L))
 
-    val removed = (drop ++ rw).map(_.path).toSet
-    val deletedRows = drop.map(_.rows).sum + rw.map(_.rows).sum - out.map(_.rows).sum
-    val manifest = table.writeSurvivorManifest(parent, removed, out)
+    val removed = (drop ++ rw).map(_.path).toSet -- fullyCold.map(_.path)
+    val deletedRows = drop.map(_.rows).sum +
+      (rw.map(_.rows).sum - fullyCold.map(_.rows).sum) -
+      coldFiles.map(_.rows).sum - out.map(_.rows).sum
+    val manifest = table.writeSurvivorManifest(parent, removed, coldFiles ++ out)
     val snap = table.commit(Some(parent), "delete",
       addManifests = Seq(manifest), keepManifests = Nil,
       removedPaths = removed,
@@ -113,9 +288,14 @@ object Delete {
         "dropped-files" -> drop.size.toString,
         "rewritten-files" -> rw.size.toString,
         "untouched-files" -> untouched.toString,
-        "rewritten-bytes" -> rw.map(_.bytes).sum.toString))
+        "rewritten-bytes" -> rw.map(_.bytes).sum.toString,
+        "decoded-bytes" -> decodedBytes.toString,
+        "cold-copied-bytes" -> plan.coldCopiedBytes.toString))
+    plan.dropHotExtracts(table, hotxDir)
     Result(snap, drop.size, rw.size, untouched, deletedRows,
-      rewrittenBytes = rw.map(_.bytes).sum)
+      rewrittenBytes = rw.map(_.bytes).sum,
+      decodedBytes = decodedBytes,
+      coldCopiedBytes = plan.coldCopiedBytes)
   }
 
   /** [[deleteWhere]] on a DataFrame of doc_ids (the contamination /

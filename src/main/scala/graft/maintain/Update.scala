@@ -27,7 +27,8 @@ import org.apache.spark.sql.catalyst.plans.logical.Filter
 object Update {
 
   case class Result(snapshot: Snapshot, rewrittenFiles: Int,
-      untouchedFiles: Long, updatedRows: Long, rewrittenBytes: Long)
+      untouchedFiles: Long, updatedRows: Long, rewrittenBytes: Long,
+      decodedBytes: Long = 0L, coldCopiedBytes: Long = 0L)
 
   /** Apply `assignments` (column name -> new value expression) to every
     * row satisfying `predicate`. Returns the parent snapshot unchanged
@@ -54,14 +55,29 @@ object Update {
         .getOrElse(sys.error(s"unexpected analyzed update plan: $simplified"))
 
     var untouched = 0L
+    var gMin: String = null; var gMax: String = null
+    val ord = graft.functions.Search.utf8Ordering
     val rewrite = Seq.newBuilder[DataFile]
     table.filesStream(parent).foreach { f =>
+      if (f.minDocId != null && (gMin == null || ord.lt(f.minDocId, gMin))) gMin = f.minDocId
+      if (f.maxDocId != null && (gMax == null || ord.gt(f.maxDocId, gMax))) gMax = f.maxDocId
       if (ManifestFileIndex.mightMatch(cond, f)) rewrite += f else untouched += 1
     }
     val rw = rewrite.result()
     if (rw.isEmpty) return Result(parent, 0, untouched, 0L, 0L)
 
-    val paths = rw.map(f => s"${table.location}/${f.path}")
+    // Row-group-level cold copy (same planner as DELETE): groups outside
+    // the predicate's doc_id cover hold no matching row, so their bytes
+    // carry over verbatim and only the hot slice decodes through the
+    // CASE projection. Cost tracks the UPDATED RANGE, not grazed files.
+    val coldDir = s"data/$jobId-v${parent.version}-cold"
+    val hotxDir = s"data/$jobId-v${parent.version}-hotx"
+    val plan = Delete.planCold(table, cond, rw, gMin, gMax, coldDir, hotxDir)
+    // Every grazed file fully cold: nothing can match — commit nothing.
+    if (plan.decodeRels.isEmpty)
+      return Result(parent, 0, untouched + rw.size, 0L, 0L)
+
+    val paths = plan.decodeRels.map(p => s"${table.location}/$p")
     val touched = spark.read.schema(table.schema).parquet(paths: _*)
     // Matched-row count over the touched files only (they are about to
     // be re-read for the rewrite; at most the touch set is scanned
@@ -85,12 +101,14 @@ object Update {
       overwrite = true, sortBy = Some("doc_id"))
 
     Lineage.completeTask(table, Lineage.TaskRecord(
-      jobId, "update", rw.map(_.path), out,
-      rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
+      jobId, "update", rw.map(_.path), plan.coldFiles ++ out,
+      rows = (plan.coldFiles ++ out).map(_.rows).sum,
+      tokenCount = (plan.coldFiles ++ out).map(_.sumNtok).sum,
       status = "done", durationMs = 0L))
 
-    val removed = rw.map(_.path).toSet
-    val manifest = table.writeSurvivorManifest(parent, removed, out)
+    val removed = rw.map(_.path).toSet -- plan.fullyCold.map(_.path)
+    val manifest = table.writeSurvivorManifest(parent, removed,
+      plan.coldFiles ++ out)
     val snap = table.commit(Some(parent), "update",
       addManifests = Seq(manifest), keepManifests = Nil,
       removedPaths = removed,
@@ -98,7 +116,12 @@ object Update {
         "updated-rows" -> updatedRows.toString,
         "rewritten-files" -> rw.size.toString,
         "untouched-files" -> untouched.toString,
-        "rewritten-bytes" -> rw.map(_.bytes).sum.toString))
-    Result(snap, rw.size, untouched, updatedRows, rw.map(_.bytes).sum)
+        "rewritten-bytes" -> rw.map(_.bytes).sum.toString,
+        "decoded-bytes" -> plan.decodedBytes.toString,
+        "cold-copied-bytes" -> plan.coldCopiedBytes.toString))
+    plan.dropHotExtracts(table, hotxDir)
+    Result(snap, rw.size, untouched, updatedRows, rw.map(_.bytes).sum,
+      decodedBytes = plan.decodedBytes,
+      coldCopiedBytes = plan.coldCopiedBytes)
   }
 }

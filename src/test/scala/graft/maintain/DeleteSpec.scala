@@ -105,6 +105,60 @@ class DeleteSpec extends SparkSpec {
     assert(t.scan().where(col("n_tok") >= 100).count() == 0)
   }
 
+  test("delete: narrow mid-range decodes only hot row groups; cold bytes copy") {
+    import spark.implicits._
+    spark.conf.set("graft.write.rowGroupBytes", (32 * 1024).toString)
+    try {
+      val dir = tmpDir("del_rg")
+      val t = TokenTable.create(spark, dir)
+      // One doc_id-sorted file with many tight row groups (same fixture
+      // shape RowGroupMergeSpec uses for MERGE's cold copy).
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 6000, minLen = 32, maxLen = 64, numPartitions = 1)
+        .repartition(1).sortWithinPartitions("doc_id")))
+      val total = t.scan().count()
+      val lo = f"doc_${3000}%012d"; val hi = f"doc_${3049}%012d"
+      val outside = checksum(t.scan().filter($"doc_id" < lo || $"doc_id" > hi))
+
+      val res = Delete.deleteWhere(t,
+        col("doc_id") >= lo && col("doc_id") <= hi, "delrg-job")
+      assert(res.deletedRows == 50, s"exactly the range must go: $res")
+      assert(res.coldCopiedBytes > 0, "cold row groups must byte-copy")
+      assert(res.decodedBytes < res.rewrittenBytes / 2,
+        s"delete must decode only the hot slice: ${res.decodedBytes} of ${res.rewrittenBytes}")
+      assert(t.scan().count() == total - 50)
+      assert(checksum(t.scan()) == outside,
+        "survivors must be byte-identical after a cold-copy delete")
+      // Hot extracts are temporaries: gone after the commit.
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$dir/data/delrg-job-v${res.snapshot.parentVersion}-hotx")))
+    } finally spark.conf.unset("graft.write.rowGroupBytes")
+  }
+
+  test("docIdCover: predicate shapes bound, widen, and compose soundly") {
+    def cover(sql: String) = Delete.docIdCover(cond(sql))
+    // Range conjunction intersects to one interval (< keeps the literal
+    // as an inclusive hi — an over-approximation, which is the sound side).
+    assert(cover("doc_id >= 'b' AND doc_id < 'd'") ==
+      Some(Seq((Some("b"), Some("d")))))
+    // Disjoint points normalize sorted; adjacent/overlapping merge.
+    assert(cover("doc_id = 'z' OR doc_id = 'a'") ==
+      Some(Seq((Some("a"), Some("a")), (Some("z"), Some("z")))))
+    assert(cover("doc_id IN ('c', 'a', 'b')") ==
+      Some(Seq((Some("a"), Some("a")), (Some("b"), Some("b")),
+        (Some("c"), Some("c")))))
+    assert(cover("(doc_id >= 'a' AND doc_id <= 'm') OR (doc_id >= 'g')") ==
+      Some(Seq((Some("a"), None))))
+    // AND with an unboundable side keeps the boundable side.
+    assert(cover("doc_id <= 'k' AND n_tok > 5") == Some(Seq((None, Some("k")))))
+    // OR with an unboundable side cannot bound (sound: full decode).
+    assert(cover("doc_id <= 'k' OR n_tok > 5").isEmpty)
+    // LIKE prefix: bounded below, open above.
+    assert(cover("doc_id LIKE 'ab%'") == Some(Seq((Some("ab"), None))))
+    // Contradictory ranges intersect to the empty cover.
+    assert(cover("doc_id < 'a' AND doc_id > 'z'") == Some(Nil))
+  }
+
   // ------------------------- mustMatchAll soundness edges
 
   private def df(minD: String, maxD: String, minN: Int = 1, maxN: Int = 9,

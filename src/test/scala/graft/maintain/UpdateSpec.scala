@@ -73,6 +73,33 @@ class UpdateSpec extends SparkSpec {
     assert(res.updatedRows == 0L && t.currentVersion == v)
   }
 
+  test("update: narrow mid-range decodes only hot row groups; cold bytes copy") {
+    import spark.implicits._
+    spark.conf.set("graft.write.rowGroupBytes", (32 * 1024).toString)
+    try {
+      val dir = tmpDir("upd_rg")
+      val t = TokenTable.create(spark, dir)
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 6000, minLen = 32, maxLen = 64, numPartitions = 1)
+        .repartition(1).sortWithinPartitions("doc_id")))
+      val lo = f"doc_${3000}%012d"; val hi = f"doc_${3049}%012d"
+      val outside = checksum(t.scan().filter($"doc_id" < lo || $"doc_id" > hi))
+
+      val res = Update.updateWhere(t, Seq("source" -> lit("patched")),
+        col("doc_id") >= lo && col("doc_id") <= hi, "updrg-job")
+      assert(res.updatedRows == 50)
+      assert(res.coldCopiedBytes > 0, "cold row groups must byte-copy")
+      assert(res.decodedBytes < res.rewrittenBytes / 2,
+        s"update must decode only the hot slice: ${res.decodedBytes} of ${res.rewrittenBytes}")
+      assert(t.scan().count() == 6000)
+      assert(t.scan().filter($"source" === "patched").count() == 50)
+      assert(checksum(t.scan().filter($"doc_id" < lo || $"doc_id" > hi)) == outside,
+        "rows outside the range must be byte-identical")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$dir/data/updrg-job-v${res.snapshot.parentVersion}-hotx")))
+    } finally spark.conf.unset("graft.write.rowGroupBytes")
+  }
+
   test("SQL UPDATE graft.`path` SET ... WHERE ... (manual rule application)") {
     val t = clustered("updsql", rows = 800)
     val expect = t.scan().where(col("n_tok") > 100).count()
