@@ -9,13 +9,17 @@ import scala.concurrent.duration.Duration
 /** Size-tiered bin-packing compaction (north-star M1).
   *
   * Plan: greedy first-fit-decreasing over the manifest file list —
-  * driver-side, pure, deterministic. Execute: one Spark job per bin
-  * (`coalesce(1)` — a bin fits the target file size by construction, so
-  * no shuffle at all), bins run concurrently on the scheduler; this is
-  * embarrassingly parallel across bins and is the N->4N
-  * scaling-efficiency workhorse. Commit: exactly one snapshot
-  * (reference invariant S3/X1 — one atomic commit per flush,
-  * `/root/reference/src/delta/mod.rs:35-63`).
+  * driver-side, pure, deterministic. Execute: per bin, a bytewise
+  * row-group CONCATENATION ([[graft.table.RowGroupCopy.concatFiles]] —
+  * zero decode, zero re-encode, additive manifest stats, no Spark job)
+  * when the bin's files are reasonably sized, falling back to a
+  * decode → `coalesce(1)` re-encode job for fragmented bins (tiny row
+  * groups worth consolidating) or foreign schemas. Bins run
+  * concurrently; this is embarrassingly parallel across bins and is the
+  * N->4N scaling-efficiency workhorse — and on the concat path it runs
+  * at storage bandwidth, not parquet-assembly speed. Commit: exactly
+  * one snapshot (reference invariant S3/X1 — one atomic commit per
+  * flush, `/root/reference/src/delta/mod.rs:35-63`).
   */
 object Compact {
 
@@ -111,6 +115,18 @@ object Compact {
       return Result(parent, 0, totalFiles.toInt, totalFiles.toInt, 0L, 0, execId)
 
     var resumed = 0
+    val hconf = spark.sessionState.newHadoopConf()
+    // Bins whose files are reasonably sized CONCATENATE bytewise
+    // (RowGroupCopy.concatFiles): each input file's row groups become
+    // row groups of one output, copied chunk-verbatim at IO speed —
+    // parquet record re-assembly (~25 MB/s/thread on token arrays,
+    // codec-independent) is compaction's real cost and is skipped
+    // entirely. Pathologically fragmented bins (avg input below this
+    // threshold — their row groups are at most that small) re-encode
+    // through the decode path to consolidate groups; so does any bin
+    // with a foreign schema. The threshold is conf-overridable.
+    val reencodeBelow = spark.conf.getOption("graft.compact.reencodeBelowBytes")
+      .map(_.toLong).getOrElse(1L * 1024 * 1024)
     // Memory-aware concurrency clamp: one bin task transiently holds the
     // decompressed bin plus parquet writer buffers (~3x the compressed
     // bin). Aggregate that across concurrent bins and a fixed-size heap
@@ -131,14 +147,38 @@ object Compact {
             done.outputFiles
           case None =>
             val t0 = System.nanoTime()
-            val in = inputPaths.map(p => s"${table.location}/$p")
-            val df = spark.read.schema(table.schema).parquet(in: _*)
-            // A bin fits targetBytes by construction: single output file,
-            // zero shuffle. Keep rows clustered by doc_id within the file
-            // so min/max doc_id stats stay selective after compaction.
-            val out = table.writeDataFilesTo(
-              df.coalesce(1), s"data/$execId/bin-$taskId",
-              overwrite = true, sortBy = Some("doc_id"))
+            val binFiles = inputPaths.flatMap(byPath.get)
+            // Decode → single-file re-encode: the fallback. Keeps rows
+            // clustered by doc_id within the file so min/max doc_id
+            // stats stay selective after consolidation.
+            def reencode(): Seq[DataFile] = {
+              val in = inputPaths.map(p => s"${table.location}/$p")
+              val df = spark.read.schema(table.schema).parquet(in: _*)
+              // A bin fits targetBytes by construction: single output
+              // file, zero shuffle.
+              table.writeDataFilesTo(
+                df.coalesce(1), s"data/$execId/bin-$taskId",
+                overwrite = true, sortBy = Some("doc_id"))
+            }
+            val avgBytes =
+              if (binFiles.size == inputPaths.size && binFiles.nonEmpty)
+                binFiles.map(_.bytes).sum / binFiles.size
+              else 0L // resumed plan missing manifest rows: re-encode
+            val out: Seq[DataFile] =
+              if (avgBytes >= reencodeBelow) {
+                // Clear any partial decode output from a crashed attempt
+                // under a different threshold conf, then pure-IO concat
+                // (no Spark job at all — the task is one streamed copy).
+                val dir = new org.apache.hadoop.fs.Path(
+                  s"${table.location}/data/$execId/bin-$taskId")
+                dir.getFileSystem(hconf).delete(dir, true)
+                try Seq(graft.table.RowGroupCopy.concatFiles(binFiles,
+                  table.location, s"data/$execId/bin-$taskId/concat.parquet",
+                  hconf))
+                catch {
+                  case _: graft.table.RowGroupCopy.SchemaMismatch => reencode()
+                }
+              } else reencode()
             Lineage.completeTask(table, Lineage.TaskRecord(
               execId, taskId, inputPaths, out,
               rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,

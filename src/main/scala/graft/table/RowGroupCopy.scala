@@ -153,6 +153,80 @@ object RowGroupCopy {
     Split(relPath, allCold = false, Some(hotxRel), hotxLen, coldStats)
   }
 
+  /** Input schemas differ — the caller must fall back to a decode
+    * rewrite (concat copies chunks verbatim; it cannot convert).
+    */
+  final class SchemaMismatch(msg: String) extends RuntimeException(msg)
+
+  /** Bytewise bin-packing concatenation: every row group of every input
+    * becomes a row group of ONE output file, copied chunk-verbatim —
+    * zero decode, zero re-encode, IO-speed. This is what makes
+    * compaction a METADATA operation at 100 TB: the expensive part of a
+    * rewrite is parquet record re-assembly (~25 MB/s/thread for token
+    * arrays — measured, and codec-independent: the cost is per-element
+    * writer calls, not compression), while a positioned chunk copy runs
+    * at storage bandwidth. Per-chunk codecs ride along (parquet stores
+    * the codec per column chunk), so mixed-codec inputs are fine;
+    * differing SCHEMAS are not — those throw [[SchemaMismatch]] and the
+    * caller re-encodes.
+    *
+    * Manifest stats are ADDITIVE from the inputs' manifest rows (min/max
+    * fold in UTF8 order, sums add) — no re-read; any input with missing
+    * or sentinel stats degrades the output to one
+    * [[FileStats.statsForFile]] pass over the just-written file.
+    */
+  def concatFiles(inputs: Seq[DataFile], location: String, outRel: String,
+      conf: Configuration): DataFile = {
+    require(inputs.nonEmpty, "empty concat bin")
+    val outPath = new org.apache.hadoop.fs.Path(s"$location/$outRel")
+    val footers = inputs.map { f =>
+      val in = HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$location/${f.path}"), conf)
+      val r = ParquetFileReader.open(in)
+      try (in, r.getFooter.getFileMetaData, r.getFooter.getBlocks.asScala.toSeq)
+      finally r.close()
+    }
+    val schema = footers.head._2.getSchema
+    footers.find(_._2.getSchema != schema).foreach { case (in, md, _) =>
+      throw new SchemaMismatch(
+        s"concat schema mismatch: ${in.getPath} has ${md.getSchema}, expected $schema")
+    }
+    val w = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(outPath, conf), schema,
+      ParquetFileWriter.Mode.OVERWRITE, 128L * 1024 * 1024, 0)
+    w.start()
+    footers.foreach { case (in, _, blocks) =>
+      val s = in.newStream()
+      try w.appendRowGroups(s, blocks.asJava, false)
+      finally s.close()
+    }
+    w.end(footers.head._2.getKeyValueMetaData)
+    val bytes = outPath.getFileSystem(conf).getFileStatus(outPath).getLen
+
+    val ord = graft.functions.Search.utf8Ordering
+    val statted = inputs.forall(f =>
+      f.minDocId != null && f.maxDocId != null &&
+        f.minSource != null && f.maxSource != null &&
+        f.minNtok <= f.maxNtok)
+    if (statted)
+      DataFile(
+        path = outRel,
+        bytes = bytes,
+        rows = inputs.map(_.rows).sum,
+        minDocId = inputs.map(_.minDocId).min(ord),
+        maxDocId = inputs.map(_.maxDocId).max(ord),
+        minNtok = inputs.map(_.minNtok).min,
+        maxNtok = inputs.map(_.maxNtok).max,
+        sumNtok = inputs.map(_.sumNtok).sum,
+        minSource = inputs.map(_.minSource).min(ord),
+        maxSource = inputs.map(_.maxSource).max(ord))
+    else {
+      val root = new org.apache.hadoop.fs.Path(location).toUri.getPath
+      FileStats.statsForFile(outPath.toUri.getPath, root, conf)
+        .getOrElse(sys.error(s"statsForFile found no file at $outPath"))
+    }
+  }
+
   /** Split every touched file. Dispatch mirrors [[TokenTable.statsFor]]:
     * small sets on a driver pool (no job-scheduling floor per merge),
     * big sets as a Spark job over the path list.
