@@ -190,6 +190,14 @@ object Delete {
           rw.map(_.path), coldDir, hotxDir,
           clamped.map(_._1).toArray, clamped.map(_._2).toArray)
       else Nil
+    fromSplits(splits, rw)
+  }
+
+  /** Assemble a [[ColdPlan]] from per-file splits; empty splits = the
+    * unbounded degenerate plan (decode every grazed file).
+    */
+  private[maintain] def fromSplits(splits: Seq[graft.table.RowGroupCopy.Split],
+      rw: Seq[DataFile]): ColdPlan = {
     val byPath = rw.map(f => f.path -> f).toMap
     if (splits.nonEmpty)
       ColdPlan(splits,
@@ -300,9 +308,10 @@ object Delete {
 
   /** [[deleteWhere]] on a DataFrame of doc_ids (the contamination /
     * takedown list shape). Small lists inline into an IN predicate —
-    * prunable per-value against file stats; large lists fall back to a
-    * broadcast anti join over the files that might hold ANY listed id
-    * (range-pruned via the list's [min,max]).
+    * prunable per-value against file stats; large lists rewrite with an
+    * anti join over the files MERGE's sampled-key segment index marks
+    * as touched, with row groups outside every id extent byte-copied
+    * cold (never decoded).
     */
   def deleteByDocIds(table: TokenTable, docIds: DataFrame, jobId: String,
       inlineLimit: Int = 10000): Result = {
@@ -317,22 +326,32 @@ object Delete {
           table.filesStream(table.current).size, 0L, 0L)
       deleteWhere(table, col("doc_id").isin(sample.toIndexedSeq: _*), jobId)
     } else {
-      // Too many keys to inline: bound the touch set by the list's
-      // overall [min,max] range, and rewrite with an anti join.
-      val mm = distinctIds.agg(min("doc_id"), max("doc_id")).head()
-      val (lo, hi) = (mm.getString(0), mm.getString(1))
+      // Too many keys to inline: plan with MERGE's sampled-key segment
+      // index (Merge.planPrune — the same bounded-memory machinery the
+      // upsert path uses). The per-segment id extents are tighter than
+      // one global [min,max]: disjoint id clusters prune every file in
+      // the dead range between them, and within grazed files, row
+      // groups intersecting no extent provably hold no listed id and
+      // carry over as bytewise cold copies — big-list delete cost then
+      // tracks the ids' ranges, not the grazed files' size.
       val parent = table.current
-      var untouched = 0L
-      val rewrite = Seq.newBuilder[DataFile]
-      val ord = graft.functions.Search.utf8Ordering
-      table.filesStream(parent).foreach { f =>
-        val outside = f.minDocId != null && f.maxDocId != null &&
-          (ord.gt(f.minDocId, hi) || ord.lt(f.maxDocId, lo))
-        if (outside) untouched += 1 else rewrite += f
-      }
-      val rw = rewrite.result()
+      val prunePlan = Merge.planPrune(() => table.filesStream(parent),
+        distinctIds.select(col("doc_id")), () => table.files(parent))
+      val rw = prunePlan.touched
+      val untouched = prunePlan.totalFiles - rw.size
       if (rw.isEmpty) return Result(parent, 0, 0, untouched, 0L, 0L)
-      val paths = rw.map(f => s"${table.location}/${f.path}")
+      val prune = prunePlan.prune
+      val coldDir = s"data/$jobId-v${parent.version}-cold"
+      val hotxDir = s"data/$jobId-v${parent.version}-hotx"
+      val splits: Seq[graft.table.RowGroupCopy.Split] =
+        if (prune.extLo.nonEmpty)
+          graft.table.RowGroupCopy.planAll(spark, table.location,
+            rw.map(_.path), coldDir, hotxDir, prune.extLo, prune.extHi)
+        else Nil
+      val plan = fromSplits(splits, rw)
+      if (plan.decodeRels.isEmpty)
+        return Result(parent, 0, 0, untouched + rw.size, 0L, 0L)
+      val paths = plan.decodeRels.map(p => s"${table.location}/$p")
       // No broadcast hint: beyond the inline threshold the list's size
       // is unbounded, so AQE picks broadcast vs shuffled anti join from
       // the measured build side.
@@ -341,12 +360,15 @@ object Delete {
       val out = table.writeDataFilesTo(survivors, s"data/$jobId-v${parent.version}",
         overwrite = true, sortBy = Some("doc_id"))
       Lineage.completeTask(table, Lineage.TaskRecord(
-        jobId, "delete", rw.map(_.path), out,
-        rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
+        jobId, "delete", rw.map(_.path), plan.coldFiles ++ out,
+        rows = (plan.coldFiles ++ out).map(_.rows).sum,
+        tokenCount = (plan.coldFiles ++ out).map(_.sumNtok).sum,
         status = "done", durationMs = 0L))
-      val removed = rw.map(_.path).toSet
-      val deletedRows = rw.map(_.rows).sum - out.map(_.rows).sum
-      val manifest = table.writeSurvivorManifest(parent, removed, out)
+      val removed = rw.map(_.path).toSet -- plan.fullyCold.map(_.path)
+      val deletedRows = rw.map(_.rows).sum - plan.fullyCold.map(_.rows).sum -
+        plan.coldFiles.map(_.rows).sum - out.map(_.rows).sum
+      val manifest = table.writeSurvivorManifest(parent, removed,
+        plan.coldFiles ++ out)
       val snap = table.commit(Some(parent), "delete",
         addManifests = Seq(manifest), keepManifests = Nil,
         removedPaths = removed,
@@ -355,8 +377,13 @@ object Delete {
           "dropped-files" -> "0",
           "rewritten-files" -> rw.size.toString,
           "untouched-files" -> untouched.toString,
-          "rewritten-bytes" -> rw.map(_.bytes).sum.toString))
-      Result(snap, 0, rw.size, untouched, deletedRows, rw.map(_.bytes).sum)
+          "rewritten-bytes" -> rw.map(_.bytes).sum.toString,
+          "decoded-bytes" -> plan.decodedBytes.toString,
+          "cold-copied-bytes" -> plan.coldCopiedBytes.toString))
+      plan.dropHotExtracts(table, hotxDir)
+      Result(snap, 0, rw.size, untouched, deletedRows, rw.map(_.bytes).sum,
+        decodedBytes = plan.decodedBytes,
+        coldCopiedBytes = plan.coldCopiedBytes)
     }
   }
 }

@@ -105,6 +105,33 @@ class DeleteSpec extends SparkSpec {
     assert(t.scan().where(col("n_tok") >= 100).count() == 0)
   }
 
+  test("deleteByDocIds anti-join path: extent cold copy decodes only id ranges") {
+    import spark.implicits._
+    spark.conf.set("graft.write.rowGroupBytes", (32 * 1024).toString)
+    try {
+      val dir = tmpDir("delids_rg")
+      val t = TokenTable.create(spark, dir)
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 6000, minLen = 32, maxLen = 64, numPartitions = 1)
+        .repartition(1).sortWithinPartitions("doc_id")))
+      // Two disjoint narrow id clusters; force the anti-join path.
+      def inRanges(c: org.apache.spark.sql.Column) =
+        (c >= f"doc_${1000}%012d" && c <= f"doc_${1039}%012d") ||
+          (c >= f"doc_${5000}%012d" && c <= f"doc_${5039}%012d")
+      val ids = t.scan().select("doc_id").filter(inRanges(col("doc_id")))
+      val outside = checksum(t.scan().filter(!inRanges(col("doc_id"))))
+
+      val res = Delete.deleteByDocIds(t, ids, "delids-rg-job", inlineLimit = 10)
+      assert(res.deletedRows == 80, s"both clusters must go: $res")
+      assert(res.coldCopiedBytes > 0, "row groups between/around the clusters must byte-copy")
+      assert(res.decodedBytes < res.rewrittenBytes / 2,
+        s"anti join must decode only the id ranges: ${res.decodedBytes} of ${res.rewrittenBytes}")
+      assert(t.scan().count() == 6000 - 80)
+      assert(checksum(t.scan()) == outside,
+        "survivors must be byte-identical after an extent cold-copy delete")
+    } finally spark.conf.unset("graft.write.rowGroupBytes")
+  }
+
   test("delete: narrow mid-range decodes only hot row groups; cold bytes copy") {
     import spark.implicits._
     spark.conf.set("graft.write.rowGroupBytes", (32 * 1024).toString)
