@@ -83,7 +83,7 @@ object Bench {
     // single draw once recorded a 1.9x phantom "regression" (VERDICT r3)
     // — the official artifact must carry its own noise evidence.
     case class Cycle(times: Map[String, Double], tokens: Long, bytesIn: Long)
-    def runCycle(rep: Int): Cycle = {
+    def runCycle(rep: Int, benchRows: Long): Cycle = {
       val cycleTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       def ctimed[A](name: String)(f: => A): A = {
         val t0 = System.nanoTime()
@@ -169,7 +169,15 @@ object Bench {
     }
 
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val cycles = (0 until reps).map(runCycle)
+    // JIT warm-up: the first cycle in a fresh JVM consistently runs
+    // 1.5-2x slow (C2 compiling the whole write/stats/codegen stack),
+    // which poisons a 3-rep median. One eighth-scale cycle compiles all
+    // phases at ~1/8 cost; it is REPORTED (warmup_rows) but never mixed
+    // into the stats. SPARK_GRAFT_BENCH_WARMUP=0 disables.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
+    val warmupRows = if (warmup > 0) math.max(benchRows / 8, 96000L) else 0L
+    if (warmup > 0) runCycle(-1, warmupRows)
+    val cycles = (0 until reps).map(runCycle(_, benchRows))
     // Deterministic generator ⇒ identical tables ⇒ identical totals.
     require(cycles.map(_.tokens).distinct.size == 1, "cross-rep token disagreement")
     require(cycles.map(_.bytesIn).distinct.size == 1, "cross-rep byte disagreement")
@@ -221,7 +229,8 @@ object Bench {
       s"BASELINE.md 'Current (round 4)' row rows=$benchRows cpus=$cpus"
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-        s""","cpus":$cpus,"bench_rows":$benchRows,"reps":$reps,"tokens":$tokens""" +
+        s""","cpus":$cpus,"bench_rows":$benchRows,"reps":$reps""" +
+        s""","warmup_rows":$warmupRows,"tokens":$tokens""" +
         s""","scan_tokens_per_sec":${scanTps.toLong}""" +
         s""","compact_gb_per_sec":${f"$compactGbps%.4f"}""" +
         s""","compact_bytes_in":$compactBytesIn""" +
