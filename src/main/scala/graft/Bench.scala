@@ -194,7 +194,11 @@ object Bench {
     phaseNames.foreach(p => times(p) = median(phaseRuns(p)))
 
     // ---------------- representative testdata queries (driver contract)
-    for (name <- Seq("d1_dedup_firstwins", "m3_stats_agg", "text_analyze",
+    // SPARK_GRAFT_BENCH_SKIP_QUERIES=1 runs the north-star cycle only —
+    // for N-vs-4N scaling runs, whose evidence is phase_stats alone.
+    val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").contains("1")
+    for (name <- if (skipQueries) Seq.empty[String]
+      else Seq("d1_dedup_firstwins", "m3_stats_agg", "text_analyze",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_hamming",
         "dedup_ngram_jaccard", "sim_bruteforce_topk", "sim_lsh_ann",
         "sim_ivf_ann", "dedup_embedding", "multimodal_features",

@@ -182,6 +182,42 @@ object PlanAudit {
       }
     }
 
+    // DML row-group cold copy: a narrow mid-range DELETE over a
+    // multi-group file must decode only the hot slice (predicate
+    // doc_id cover -> appendRowGroups cold copy), and compaction must
+    // take the bytewise concat path with additive stats.
+    {
+      println(s"\n========== DML cold copy + concat compaction ==========")
+      val loc4 = s"${System.getProperty("java.io.tmpdir")}/graft_planaudit_cc"
+      Bench.wipeDir(loc4)
+      spark.conf.set("graft.write.rowGroupBytes", (64 * 1024).toString)
+      try {
+        val t4 = TokenTable.create(spark, loc4)
+        t4.append(TokenGen.asTokenRows(TokenGen.generate(
+          spark, 20000, minLen = 32, maxLen = 64, numPartitions = 1)
+          .repartition(1).sortWithinPartitions("doc_id")))
+        val del = graft.maintain.Delete.deleteWhere(t4,
+          $"doc_id" >= f"doc_${10000}%012d" && $"doc_id" <= f"doc_${10099}%012d",
+          "pa-cc-del")
+        println(s"narrow DELETE: decodedBytes=${del.decodedBytes} " +
+          s"coldCopiedBytes=${del.coldCopiedBytes} of grazed ${del.rewrittenBytes} " +
+          s"(decode share ${100 * del.decodedBytes / math.max(1, del.rewrittenBytes)}%)")
+      } finally spark.conf.unset("graft.write.rowGroupBytes")
+      // Concat compaction over the small leftover files (avg above the
+      // re-encode threshold is forced via conf=0 at this toy scale).
+      spark.conf.set("graft.compact.reencodeBelowBytes", "0")
+      try {
+        val t4 = TokenTable.open(spark, loc4)
+        val before = t4.filesLocal(t4.current).size
+        val r = graft.maintain.Compact.run(t4, targetBytes = 8L * 1024 * 1024,
+          jobId = "pa-cc-compact")
+        val outs = t4.filesLocal(t4.current).filter(_.path.contains("pa-cc-compact"))
+        println(s"concat compaction: $before -> ${t4.filesLocal(t4.current).size} files, " +
+          s"bins=${r.binsRewritten}, all-bytewise=${outs.forall(_.path.endsWith("concat.parquet"))}")
+        outs.foreach(f => println(s"  out: ${f.path} (${f.bytes} B)"))
+      } finally spark.conf.unset("graft.compact.reencodeBelowBytes")
+    }
+
     spark.stop()
   }
 }

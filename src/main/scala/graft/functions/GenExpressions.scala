@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
@@ -76,4 +76,45 @@ object GenOps {
   def tokenSeq(docId: Column, nTok: Column, vocab: Int): Column =
     GraftSqlBridge.column(TokenSeq(
       GraftSqlBridge.expression(docId), GraftSqlBridge.expression(nTok), vocab))
+}
+
+/** Pass-through expression whose REPORTED type is the nullable-widened
+  * version of its child's (field nullable, array elements / map values /
+  * struct fields containsNull=true, recursively). Value representation
+  * is unchanged, so eval/codegen forward verbatim. Exists to pin every
+  * engine parquet write to ONE canonical repetition layout (optional):
+  * Spark derives parquet required/optional from column nullability, and
+  * a `Cast` that differs only in nullability gets optimized away — this
+  * expression is not a cast, so no rule strips it.
+  */
+case class WidenNullable(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  private def widen(t: DataType): DataType = t match {
+    case ArrayType(et, _) => ArrayType(widen(et), containsNull = true)
+    case MapType(kt, vt, _) => MapType(kt, widen(vt), valueContainsNull = true)
+    case StructType(fs) =>
+      StructType(fs.map(f => f.copy(dataType = widen(f.dataType), nullable = true)))
+    case other => other
+  }
+
+  override def dataType: DataType = widen(child.dataType)
+  override def nullable: Boolean = true
+  override lazy val deterministic: Boolean = child.deterministic
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WidenNullable {
+  def widenCol(c: Column): Column =
+    GraftSqlBridge.column(WidenNullable(GraftSqlBridge.expression(c)))
 }

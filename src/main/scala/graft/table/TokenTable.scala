@@ -168,6 +168,32 @@ class TokenTable(val location: String, val spark: SparkSession) {
   def writeDataFilesTo(df: DataFrame, relDir: String, overwrite: Boolean,
       sortBy: Option[String], partitionBy: Seq[String] = Nil): Seq[DataFile] = {
     val abs = s"$location/$relDir"
+    // ONE canonical parquet repetition layout for every engine write:
+    // Spark derives parquet required/optional from column nullability,
+    // file reads force nullable, so rewrite outputs were `optional`
+    // while direct appends of non-null DataFrames wrote `required` —
+    // two layouts in one table, which breaks the bytewise concat and
+    // cold-copy paths' schema-equality check (chunk copies cannot mix
+    // definition-level layouts). Canonical = fully nullable (the only
+    // direction widening works without per-element asserts; null
+    // SAFETY is unchanged — rewrites already wrote optional). Columns
+    // already canonical pass through untouched.
+    val dfCanon = {
+      val canonByName = TokenTable.nullableTokenSchema.fields
+        .map(f => f.name -> f).toMap
+      var widenedAny = false
+      val cols = df.schema.fields.map { f =>
+        canonByName.get(f.name) match {
+          case Some(canon) if f.nullable != canon.nullable ||
+              f.dataType != canon.dataType =>
+            widenedAny = true
+            graft.functions.WidenNullable.widenCol(
+              org.apache.spark.sql.functions.col(f.name)).as(f.name)
+          case _ => org.apache.spark.sql.functions.col(f.name)
+        }
+      }
+      if (widenedAny) df.select(cols.toIndexedSeq: _*) else df
+    }
     // Partition columns lead the within-partition sort: FileFormatWriter
     // requires ordering by partition columns and would otherwise inject
     // its own SortExec (a full re-sort that also destroys the data-column
@@ -175,8 +201,8 @@ class TokenTable(val location: String, val spark: SparkSession) {
     val sortCols = partitionBy ++ sortBy
     val out =
       if (sortCols.nonEmpty)
-        df.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
-      else df
+        dfCanon.sortWithinPartitions(sortCols.head, sortCols.tail: _*)
+      else dfCanon
     val writer = out.write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
       .option("compression", "zstd") // reference writes ZSTD parquet (src/pipeline/mod.rs:120-122)
@@ -380,6 +406,18 @@ object TokenTable {
   val RowGroupBytes: Long = 32L * 1024 * 1024
 
   /** The north-star schema (BASELINE.json input_hint). */
+  /** [[tokenSchema]] with every field (and array element) nullable —
+    * the CANONICAL parquet repetition layout of engine-written files
+    * (see writeDataFilesTo).
+    */
+  lazy val nullableTokenSchema: StructType = StructType(
+    tokenSchema.fields.map { f =>
+      f.copy(nullable = true, dataType = f.dataType match {
+        case ArrayType(et, _) => ArrayType(et, containsNull = true)
+        case t => t
+      })
+    })
+
   val tokenSchema: StructType = StructType(Seq(
     StructField("doc_id", StringType, nullable = false),
     StructField("tokens", ArrayType(IntegerType, containsNull = false), nullable = false),
