@@ -239,6 +239,31 @@ object Queries {
          |FROM graft.`$loc`""".stripMargin)
   }
 
+  /** M8b: the full maintenance cycle driven ONLY by SQL stored
+    * procedures (`CALL graft.system.*` — the DSv2 ProcedureCatalog
+    * surface): compact, re-cluster, expire history, then read the state
+    * back through the catalog. Oracle: the unchanged base tokenization
+    * (every procedure is state-preserving on rows).
+    */
+  def m8CallProceduresScan(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    val t = buildTable(spark, dir, "m8proc", commits = 8)
+    val loc = t.location
+    val c = spark.sql(
+      s"CALL graft.system.compact(table => '$loc', target_bytes => ${8L * 1024 * 1024})")
+      .head()
+    require(c.getAs[Int]("files_in") > c.getAs[Int]("files_out"),
+      "SQL compact found nothing to pack")
+    spark.sql(s"CALL graft.system.cluster('$loc', 'zorder', ${64L * 1024})").collect()
+    spark.sql(
+      s"CALL graft.system.expire_snapshots(table => '$loc', retain_last => 1, grace_ms => 0)")
+      .collect()
+    require(spark.sql(s"CALL graft.system.snapshots('$loc')").count() == 1,
+      "expire_snapshots must leave exactly one live version")
+    scanProjection(spark.sql(
+      s"SELECT doc_id, tokens, n_tok, source FROM graft.`$loc`"))
+  }
+
   def m2DocIdClusterScan(spark: SparkSession, dir: String): DataFrame = {
     val t = buildTable(spark, dir, "m2d", commits = 6)
     Cluster.run(t, Cluster.ByDocId, "q-m2d", targetBytes = 64L * 1024)

@@ -25,6 +25,7 @@ object SparkEntry {
     "m6_merge_scan" -> ((s, d) => Queries.m6MergeScan(s, d)),
     "m6_merge_sql_scan" -> ((s, d) => Queries.m6MergeSqlScan(s, d)),
     "m8_catalog_sql_scan" -> ((s, d) => Queries.m8CatalogSqlScan(s, d)),
+    "m8_call_procedures_scan" -> ((s, d) => Queries.m8CallProceduresScan(s, d)),
     "m9_delete_sql_scan" -> ((s, d) => Queries.m9DeleteSqlScan(s, d)),
     "m9_update_sql_scan" -> ((s, d) => Queries.m9UpdateSqlScan(s, d)),
     "m4_expire_scan" -> ((s, d) => Queries.m4ExpireScan(s, d)),
@@ -81,6 +82,7 @@ object SparkEntry {
     "m6_merge_scan" -> Queries.m6MergeSql,
     "m6_merge_sql_scan" -> Queries.m6MergeSql, // same post-merge state via SQL text
     "m8_catalog_sql_scan" -> Queries.m6MergeSql, // same state, built via DSv2 catalog SQL
+    "m8_call_procedures_scan" -> Queries.tokenizedDocsSql, // CALL procs are state-preserving
     "m9_delete_sql_scan" -> Queries.m9DeleteSql,
     "m9_update_sql_scan" -> Queries.m9UpdateSql,
     "m4_expire_scan" -> Queries.tokenizedDocsSql,

@@ -39,8 +39,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Write path: [[V1Write]] → [[InsertableRelation]] → `TokenTable.append`
   * (CAS snapshot commit; concurrent INSERTs auto-rebase).
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = "graft"
+
+  // --- ProcedureCatalog: CALL graft.system.<proc>(...) — see
+  // [[GraftProcedures]] for the procedure set.
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name

@@ -1,0 +1,165 @@
+package graft.sql
+
+import graft.maintain.{Cluster, Compact, Expire}
+import graft.table.{Format, TokenTable}
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for the maintenance engine — the DSv2
+  * `ProcedureCatalog` surface (SPARK-44167), so every north-star op is
+  * callable from plain SQL once the catalog is registered:
+  *
+  *   CALL graft.system.compact(table => '/path', target_bytes => 134217728)
+  *   CALL graft.system.cluster(table => '/path', curve => 'zorder')
+  *   CALL graft.system.expire_snapshots(table => '/path', retain_last => 5)
+  *   CALL graft.system.snapshots('/path')            -- history listing
+  *
+  * Mirrors the `CALL catalog.system.<proc>` convention users know from
+  * other lakehouse formats. Each procedure returns a one-row (or, for
+  * `snapshots`, one-row-per-version) result relation via [[LocalScan]];
+  * the heavy lifting stays in the maintain package — a procedure is a
+  * thin SQL binding, not a second implementation. The reference has no
+  * SQL surface at all (its ops run from `main`,
+  * `/root/reference/src/main.rs:22-68`); this is the Spark-native
+  * equivalent of invoking those maintenance entry points.
+  */
+object GraftProcedures {
+
+  private val SystemNs = Seq("system")
+
+  def list(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(SystemNs))
+      all.keys.map(n => Identifier.of(SystemNs.toArray, n)).toArray
+    else Array.empty
+
+  def load(ident: Identifier): UnboundProcedure = {
+    val ok = ident.namespace().isEmpty || ident.namespace().sameElements(SystemNs)
+    if (!ok) throw new IllegalArgumentException(
+      s"unknown procedure namespace ${ident.namespace().mkString(".")}; use graft.system")
+    all.getOrElse(ident.name(), throw new IllegalArgumentException(
+      s"unknown procedure '${ident.name()}'; available: ${all.keys.toSeq.sorted.mkString(", ")}"))
+  }
+
+  private lazy val all: Map[String, GraftProcedure] = Seq(
+    CompactProc, ClusterProc, ExpireProc, SnapshotsProc).map(p => p.name -> p).toMap
+
+  private def in(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def in(name: String, dt: DataType, default: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
+
+  private def utf8(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+
+  /** Unbound+bound in one object (the parameter list is static — there
+    * is nothing to specialize against the input schema).
+    */
+  sealed abstract class GraftProcedure(
+      override val name: String,
+      override val description: String,
+      params: Seq[ProcedureParameter],
+      outSchema: StructType) extends UnboundProcedure with BoundProcedure {
+
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+
+    protected def run(spark: SparkSession, input: InternalRow): Seq[InternalRow]
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val result = run(SparkSession.active, input).toArray
+      util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = result
+        override def readSchema(): StructType = outSchema
+      }).iterator()
+    }
+  }
+
+  private object CompactProc extends GraftProcedure(
+    "compact",
+    "Bin-pack small files into ~target_bytes outputs (bytewise row-group concat)",
+    Seq(in("table", StringType),
+      in("target_bytes", LongType, (128L * 1024 * 1024).toString),
+      in("parallelism", IntegerType, "8")),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("bins_rewritten", IntegerType, nullable = false),
+      StructField("files_in", IntegerType, nullable = false),
+      StructField("files_out", IntegerType, nullable = false),
+      StructField("bytes_in", LongType, nullable = false)))) {
+    override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
+      val t = TokenTable.open(spark, utf8(in, 0))
+      val r = Compact.run(t, in.getLong(1), "sql-compact", parallelism = in.getInt(2))
+      Seq(InternalRow(r.snapshot.version, r.binsRewritten, r.filesIn, r.filesOut, r.bytesIn))
+    }
+  }
+
+  private object ClusterProc extends GraftProcedure(
+    "cluster",
+    "Re-cluster the table: curve one of 'zorder', 'hilbert', 'by_doc_id'",
+    Seq(in("table", StringType),
+      in("curve", StringType, "'zorder'"),
+      in("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("buckets", IntegerType, nullable = false),
+      StructField("salted_buckets", IntegerType, nullable = false)))) {
+    override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
+      val t = TokenTable.open(spark, utf8(in, 0))
+      val curve = utf8(in, 1).toLowerCase match {
+        case "zorder" => Cluster.ZOrder
+        case "hilbert" => Cluster.Hilbert
+        case "by_doc_id" | "bydocid" => Cluster.ByDocId
+        case other => throw new IllegalArgumentException(
+          s"unknown curve '$other'; use zorder | hilbert | by_doc_id")
+      }
+      val r = Cluster.run(t, curve, "sql-cluster", targetBytes = in.getLong(2))
+      Seq(InternalRow(r.snapshot.version, r.buckets, r.saltedBuckets))
+    }
+  }
+
+  private object ExpireProc extends GraftProcedure(
+    "expire_snapshots",
+    "Expire all but the last retain_last snapshots and GC unreachable files older than grace_ms",
+    Seq(in("table", StringType),
+      in("retain_last", IntegerType, "5"),
+      in("grace_ms", LongType, (3600L * 1000).toString)),
+    StructType(Seq(
+      StructField("expired_snapshots", IntegerType, nullable = false),
+      StructField("deleted_files", LongType, nullable = false)))) {
+    override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
+      val t = TokenTable.open(spark, utf8(in, 0))
+      val r = Expire.run(t, in.getInt(1), in.getLong(2))
+      Seq(InternalRow(r.expiredSnapshots.size, r.deletedFiles))
+    }
+  }
+
+  private object SnapshotsProc extends GraftProcedure(
+    "snapshots",
+    "List live snapshots: version, parent, operation, commit timestamp, summary",
+    Seq(in("table", StringType)),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("parent_version", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("timestamp_ms", LongType, nullable = false),
+      StructField("manifests", IntegerType, nullable = false)))) {
+    override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
+      val loc = utf8(in, 0)
+      val head = Format.currentVersion(loc)
+      (0L to head)
+        .filter(v => java.nio.file.Files.exists(Format.versionFile(loc, v)))
+        .map { v =>
+          val s = Format.readSnapshot(loc, v)
+          InternalRow(s.version, s.parentVersion,
+            UTF8String.fromString(s.operation), s.timestampMs, s.manifests.size)
+        }
+    }
+  }
+}

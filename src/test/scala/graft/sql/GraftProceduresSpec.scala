@@ -1,0 +1,103 @@
+package graft.sql
+
+import graft.SparkSpec
+import graft.ingest.TokenGen
+import graft.table.TokenTable
+
+/** `CALL graft.system.<proc>(...)` stored procedures: each maintenance
+  * op callable from plain SQL, with positional and named arguments,
+  * defaults applied, state preserved, and results returned as a
+  * relation.
+  */
+class GraftProceduresSpec extends SparkSpec {
+
+  private def withCatalog[A](f: => A): A = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    try f finally spark.conf.unset("spark.sql.catalog.graft")
+  }
+
+  /** A table with many small files (8 commits x 2 partitions). */
+  private def seeded(name: String, rows: Int = 400, commits: Int = 8): String = {
+    val loc = tmpDir(name)
+    val t = TokenTable.create(spark, loc)
+    val per = rows / commits
+    (0 until commits).foreach { c =>
+      t.append(TokenGen.asTokenRows(
+        TokenGen.generate(spark, per, idOffset = c.toLong * per, numPartitions = 2)))
+    }
+    loc
+  }
+
+  test("CALL system.compact bin-packs, returns counts, preserves state") {
+    withCatalog {
+      val loc = seeded("proc_compact")
+      val before = checksum(TokenTable.open(spark, loc).scan())
+      val filesBefore = TokenTable.open(spark, loc).filesLocal(
+        TokenTable.open(spark, loc).current).size
+
+      val r = spark.sql(
+        s"CALL graft.system.compact(table => '$loc', target_bytes => ${64 * 1024 * 1024})")
+      val row = r.head()
+      assert(r.columns.toSeq == Seq(
+        "version", "bins_rewritten", "files_in", "files_out", "bytes_in"))
+      assert(row.getAs[Int]("files_in") > row.getAs[Int]("files_out"),
+        "compaction must reduce file count on a many-small-files table")
+
+      val t = TokenTable.open(spark, loc)
+      assert(t.filesLocal(t.current).size < filesBefore)
+      assert(checksum(t.scan()) == before, "compaction must preserve table state")
+    }
+  }
+
+  test("CALL system.cluster with each curve; bad curve fails loudly") {
+    withCatalog {
+      val loc = seeded("proc_cluster")
+      val before = checksum(TokenTable.open(spark, loc).scan())
+      for (curve <- Seq("zorder", "hilbert", "by_doc_id")) {
+        val row = spark.sql(
+          s"CALL graft.system.cluster('$loc', '$curve')").head()
+        assert(row.getAs[Int]("buckets") >= 1)
+        assert(checksum(TokenTable.open(spark, loc).scan()) == before,
+          s"$curve clustering must preserve table state")
+      }
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.system.cluster('$loc', 'peano')").collect()
+      }
+      assert(e.getMessage.contains("peano"))
+    }
+  }
+
+  test("CALL system.expire_snapshots prunes history; snapshots lists the rest") {
+    withCatalog {
+      val loc = seeded("proc_expire")
+      val headBefore = TokenTable.open(spark, loc).currentVersion
+      assert(spark.sql(s"CALL graft.system.snapshots('$loc')").count() ==
+        headBefore + 1)
+
+      val row = spark.sql(
+        s"CALL graft.system.expire_snapshots(table => '$loc', retain_last => 2, grace_ms => 0)")
+        .head()
+      assert(row.getAs[Int]("expired_snapshots") == (headBefore + 1 - 2).toInt)
+
+      val left = spark.sql(s"CALL graft.system.snapshots('$loc')")
+      assert(left.count() == 2)
+      assert(left.select("version").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(headBefore - 1, headBefore))
+      // Latest state still scans exactly.
+      assert(TokenTable.open(spark, loc).scan().count() == 400)
+    }
+  }
+
+  test("unknown procedure and SHOW PROCEDURES") {
+    withCatalog {
+      val e = intercept[Exception] {
+        spark.sql("CALL graft.system.frobnicate('/nope')").collect()
+      }
+      assert(e.getMessage.contains("frobnicate"))
+      val listed = spark.sql("SHOW PROCEDURES IN graft.system")
+        .select("procedure_name").collect().map(_.getString(0)).toSet
+      assert(Set("compact", "cluster", "expire_snapshots", "snapshots")
+        .subsetOf(listed))
+    }
+  }
+}
