@@ -2,7 +2,7 @@ package graft.maintain
 
 import graft.functions.{CurveKeys, Search, SearchOps}
 import graft.lineage.Lineage
-import graft.table.{Snapshot, TokenTable}
+import graft.table.{DataFile, Snapshot, TokenTable}
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -141,30 +141,80 @@ object Cluster {
     }.toMap
   }
 
-  case class Result(snapshot: Snapshot, buckets: Int, saltedBuckets: Int)
+  case class Result(snapshot: Snapshot, buckets: Int, saltedBuckets: Int,
+      carriedFiles: Int = 0, rewrittenBytes: Long = 0L)
+
+  /** The incremental carry set: a maximal mutually-range-disjoint
+    * (inclusive [minDocId, maxDocId], UTF-8 order) subset of the live
+    * files, chosen bytes-descending so prior cluster outputs win, each
+    * at least `carryMinBytes` — files already in layout position.
+    * Greedy interval-set via a TreeMap on minDocId: O(n log n).
+    * Any file with missing doc_id stats disables carrying entirely
+    * (its range is unknown, so no disjointness claim is sound).
+    */
+  private[maintain] def carrySet(all: Seq[DataFile], carryMinBytes: Long)
+      : Seq[DataFile] = {
+    if (all.exists(f => f.minDocId == null || f.maxDocId == null)) return Nil
+    val ord = Search.utf8Ordering
+    val taken = new java.util.TreeMap[String, String](ord) // minDocId -> maxDocId
+    all.filter(_.bytes >= carryMinBytes)
+      .sortBy(f => (-f.bytes, f.path))
+      .filter { f =>
+        val below = taken.floorEntry(f.minDocId)
+        val above = taken.ceilingEntry(f.minDocId)
+        val ok = (below == null || ord.compare(below.getValue, f.minDocId) < 0) &&
+          (above == null || ord.compare(f.maxDocId, above.getKey) < 0)
+        if (ok) taken.put(f.minDocId, f.maxDocId)
+        ok
+      }
+  }
 
   /** Range-cluster by doc_id (ByDocId): explicit sampled STRING
     * boundaries (the key is lexicographic doc_id order, not a numeric
     * curve), salt for heavy buckets, one shuffle, files sorted by
     * doc_id — after this layout, MERGE's manifest min/max pruning is
     * maximally selective.
+    *
+    * `incremental` (default on) makes repeat clustering LSM-style:
+    * files already in layout position (the [[carrySet]] — mutually
+    * range-disjoint, at least half the target size) carry over with
+    * ZERO IO, and only the remaining files (new ingest, boundary
+    * fragments) sort into their own tight run. Each run's files keep
+    * exact min/max stats, so scan/MERGE pruning stays selective across
+    * runs, and a periodic full pass (`incremental = false`) restores a
+    * single run. At 100 TB this is the difference between an OPTIMIZE
+    * that costs O(new data) and one that rewrites the table.
     */
   def runByDocId(table: TokenTable, jobId: String,
-      targetBytes: Long = 128L * 1024 * 1024): Result = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      incremental: Boolean = true): Result = {
     val spark = table.spark
     import spark.implicits._
     val parent = table.current
     val all = table.filesLocal(parent)
     if (all.isEmpty) return Result(parent, 0, 0)
-    val totalBytes = all.map(_.bytes).sum
-    val totalRows = all.map(_.rows).sum
+
+    val carried = if (incremental) carrySet(all, targetBytes / 2) else Nil
+    val carriedPaths = carried.map(_.path).toSet
+    val rewrite = all.filterNot(f => carriedPaths.contains(f.path))
+    if (rewrite.isEmpty) return Result(parent, 0, 0, carried.size, 0L)
+
+    val totalBytes = rewrite.map(_.bytes).sum
+    val totalRows = rewrite.map(_.rows).sum
     val buckets = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+
+    // Input: the full manifest-pruned scan when everything rewrites
+    // (the common first pass), else a raw read of just the rewrite set.
+    val input =
+      if (carried.isEmpty) table.scan()
+      else spark.read.schema(table.schema)
+        .parquet(rewrite.map(f => s"${table.location}/${f.path}"): _*)
 
     val fraction = math.min(1.0, 200000.0 / math.max(1L, totalRows))
     // Sort with Spark's UTF-8 binary string order, NOT Java's UTF-16
     // order — they disagree on supplementary-plane characters, and the
     // executor-side bucket comparison is UTF-8.
-    val sampleKeys = table.scan().select($"doc_id")
+    val sampleKeys = input.select($"doc_id")
       .sample(withReplacement = false, fraction, seed = 42L)
       .as[String].collect().sorted(Search.utf8Ordering)
     val boundaries: Array[String] =
@@ -191,7 +241,7 @@ object Cluster {
     (0 until bases.length).foreach { b => bases(b) = acc; acc += salts.getOrElse(b, 1) }
 
     val clustered = exchangeByPid(
-      table.scan()
+      input
         .withColumn("bucket", bucketExpr)
         .withColumn("salt", saltExpr)
         .withColumn("pid", element_at(lit(bases), col("bucket") + 1) + col("salt")),
@@ -202,18 +252,23 @@ object Cluster {
     val out = table.writeDataFilesTo(clustered, s"data/$jobId-v${parent.version}",
       overwrite = true, sortBy = None)
     Lineage.completeTask(table, Lineage.TaskRecord(
-      jobId, "cluster-by-docid", all.map(_.path), out,
+      jobId, "cluster-by-docid", rewrite.map(_.path), out,
       rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
       status = "done", durationMs = 0L))
-    val manifest = table.writeManifest(out)
+    val manifest =
+      if (carried.isEmpty) table.writeManifest(out)
+      else table.writeSurvivorManifest(parent,
+        removedPaths = rewrite.map(_.path).toSet, extra = out)
     val snap = table.commit(Some(parent), "cluster-by-docid",
       addManifests = Seq(manifest), keepManifests = Nil,
-      removedPaths = all.map(_.path).toSet,
+      removedPaths = rewrite.map(_.path).toSet,
       summary = Map(
         "buckets" -> (boundaries.length + 1).toString,
         "salted-buckets" -> salts.size.toString,
-        "files-out" -> out.size.toString))
-    Result(snap, boundaries.length + 1, salts.size)
+        "files-out" -> out.size.toString,
+        "files-carried" -> carried.size.toString,
+        "bytes-rewritten" -> totalBytes.toString))
+    Result(snap, boundaries.length + 1, salts.size, carried.size, totalBytes)
   }
 
   private def timing[A](name: String)(f: => A): A =

@@ -109,7 +109,9 @@ object GraftProcedures {
     StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("buckets", IntegerType, nullable = false),
-      StructField("salted_buckets", IntegerType, nullable = false)))) {
+      StructField("salted_buckets", IntegerType, nullable = false),
+      StructField("carried_files", IntegerType, nullable = false),
+      StructField("bytes_rewritten", LongType, nullable = false)))) {
     override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
       val t = TokenTable.open(spark, utf8(in, 0))
       val curve = utf8(in, 1).toLowerCase match {
@@ -120,7 +122,8 @@ object GraftProcedures {
           s"unknown curve '$other'; use zorder | hilbert | by_doc_id")
       }
       val r = Cluster.run(t, curve, "sql-cluster", targetBytes = in.getLong(2))
-      Seq(InternalRow(r.snapshot.version, r.buckets, r.saltedBuckets))
+      Seq(InternalRow(r.snapshot.version, r.buckets, r.saltedBuckets,
+        r.carriedFiles, r.rewrittenBytes))
     }
   }
 
