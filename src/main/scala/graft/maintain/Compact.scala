@@ -26,14 +26,14 @@ object Compact {
   case class Result(snapshot: Snapshot, binsRewritten: Int, filesIn: Int,
       filesOut: Int, bytesIn: Long, resumedTasks: Int, execId: String = "")
 
-  /** Greedy first-fit-decreasing. Only files smaller than
+  /** Key-local packing with an FFD fallback. Only files smaller than
     * `smallFileFactor * targetBytes` are candidates; bins hold at most
     * `targetBytes` and only bins with >= 2 files are worth rewriting.
-    * Deterministic: candidates sorted by (bytes desc, path).
+    * Deterministic: candidates sorted by (minDocId UTF-8, path).
     */
   def planBins(files: Seq[DataFile], targetBytes: Long,
       smallFileFactor: Double = 0.75): Seq[Seq[DataFile]] =
-    ffd(files.filter(_.bytes < (targetBytes * smallFileFactor).toLong),
+    keyLocalPack(files.filter(_.bytes < (targetBytes * smallFileFactor).toLong),
       targetBytes)
 
   /** STREAMING planner: one bounded-memory pass over the manifest-row
@@ -60,7 +60,48 @@ object Compact {
         if (heap.size > maxCandidates) heap.dequeue()
       }
     }
-    (ffd(heap.dequeueAll.toSeq, targetBytes), total)
+    (keyLocalPack(heap.dequeueAll.toSeq, targetBytes), total)
+  }
+
+  /** Pack candidates into KEY-ADJACENT bins: sorted by (minDocId UTF-8,
+    * path), consecutive files pack next-fit up to `targetBytes`, so a
+    * compacted output's doc_id range is the union of NEIGHBOURING
+    * ranges — on a clustered table, pruning survives compaction and the
+    * outputs stay tight enough for incremental reclustering to carry.
+    * (FFD by size would pack key-distant fragments into one file whose
+    * [min,max] spans the table — a pruning-dead file.) Next-fit can
+    * strand singletons (adjacent files that don't fit together); those
+    * fall back to classic FFD so no easy win is dropped — on unsorted
+    * ingest output the two plans pack the same work. Files without
+    * doc_id stats sort last and pack among themselves.
+    */
+  private def keyLocalPack(candidates: Seq[DataFile], targetBytes: Long)
+      : Seq[Seq[DataFile]] = {
+    val ord = graft.functions.Search.utf8Ordering
+    val sorted = candidates.sortWith { (a, b) =>
+      (a.minDocId, b.minDocId) match {
+        case (null, null) => a.path < b.path
+        case (null, _) => false
+        case (_, null) => true
+        case (x, y) =>
+          val c = ord.compare(x, y)
+          if (c != 0) c < 0 else a.path < b.path
+      }
+    }
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Seq[DataFile]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+    var used = 0L
+    val stranded = scala.collection.mutable.ArrayBuffer.empty[DataFile]
+    def close(): Unit = {
+      if (cur.size >= 2) bins += cur.toSeq else stranded ++= cur
+      cur.clear(); used = 0L
+    }
+    sorted.foreach { f =>
+      if (used + f.bytes > targetBytes) close()
+      cur += f; used += f.bytes
+    }
+    close()
+    bins.toSeq ++ ffd(stranded.toSeq, targetBytes)
   }
 
   private def ffd(candidates: Seq[DataFile], targetBytes: Long): Seq[Seq[DataFile]] = {

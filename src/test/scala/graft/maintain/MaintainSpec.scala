@@ -82,6 +82,27 @@ class MaintainSpec extends SparkSpec {
     assert(planned.distinct.size == planned.size, "a file must appear in at most one bin")
   }
 
+  test("compaction bins are key-adjacent on a clustered layout; stranded files FFD-pack") {
+    import graft.table.DataFile
+    def f(p: String, min: String, max: String, bytes: Long) =
+      DataFile(p, bytes, 10, min, max, 0, 9, 100, "s", "s")
+    // Six range-adjacent 30KB fragments, 64KB target: bins must pair
+    // NEIGHBOURS (tight output ranges), never key-distant fragments.
+    val frags = (0 until 6).map(i => f(s"f$i", f"d${i}%02d0", f"d${i}%02d9", 30000L))
+    val bins = Compact.planBins(frags, 64000L)
+    assert(bins.nonEmpty && bins.forall(_.size == 2))
+    bins.foreach { b =>
+      val idx = b.map(frags.indexOf).sorted
+      assert(idx(1) - idx(0) == 1, s"bin not key-adjacent: $idx")
+    }
+    // Alternating sizes where no adjacent pair fits: the FFD fallback
+    // still packs the two smalls instead of dropping all work.
+    val alt = Seq(f("a", "d00", "d09", 45000L), f("b", "d10", "d19", 30000L),
+      f("c", "d20", "d29", 45000L), f("d", "d30", "d39", 30000L))
+    val bins2 = Compact.planBins(alt, 64000L)
+    assert(bins2.flatten.map(_.path).toSet == Set("b", "d"))
+  }
+
   test("compaction resumes from lineage: completed bins are not re-run") {
     val t = smallFileTable()
     val before = checksum(t.scan())
