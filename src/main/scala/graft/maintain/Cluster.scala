@@ -152,7 +152,7 @@ object Cluster {
     * Any file with missing doc_id stats disables carrying entirely
     * (its range is unknown, so no disjointness claim is sound).
     */
-  private[maintain] def carrySet(all: Seq[DataFile], carryMinBytes: Long)
+  private[graft] def carrySet(all: Seq[DataFile], carryMinBytes: Long)
       : Seq[DataFile] = {
     if (all.exists(f => f.minDocId == null || f.maxDocId == null)) return Nil
     val ord = Search.utf8Ordering

@@ -48,7 +48,13 @@ case class MaintenancePolicy(
     targetBytes: Long = 128L * 1024 * 1024,
     maxLiveVersions: Int = 64,
     retainVersions: Int = 2,
-    gcGraceMs: Long = 3600L * 1000)
+    gcGraceMs: Long = 3600L * 1000,
+    /** When set, recluster ByDocId (incrementally — prior outputs carry
+      * with zero IO) once the bytes NOT in layout position reach this
+      * threshold: continuous ingest then keeps the table permanently
+      * merge-prunable, at O(new data) cost per pass.
+      */
+    reclusterBytes: Option[Long] = None)
 
 object StreamingIngest {
 
@@ -74,6 +80,7 @@ object StreamingIngest {
       .foreachBatch { (batch: Dataset[RawMessage], batchId: Long) =>
         Ingest.ingestBatch(table, batch, deadLetterDir)
         maintenance.foreach { p =>
+          maybeRecluster(table, p, s"auto-cluster-$batchId")
           maybeCompact(table, p, s"auto-compact-$batchId")
           maybeExpire(table, p)
         }
@@ -100,6 +107,32 @@ object StreamingIngest {
         case _: graft.table.CommitConflictException => None // re-plan next batch
       }
   }
+
+  /** Threshold-gated INCREMENTAL recluster for [[start]]'s inline
+    * maintenance (off unless the policy sets `reclusterBytes`). The
+    * gate evaluates the same carry set the recluster itself would use:
+    * bytes outside it are exactly the not-in-layout data a pass would
+    * rewrite, so the trigger fires when a pass is worth its cost and the
+    * pass then costs O(those bytes) — prior outputs carry with zero IO.
+    * Planning is O(#files) driver metadata per batch (the accepted
+    * Iceberg-class floor; the clustering job needs the same plan
+    * anyway). Runs BEFORE maybeCompact: a fired recluster also packs
+    * the small files, and compact's own gate then no-ops.
+    */
+  def maybeRecluster(table: TokenTable, policy: MaintenancePolicy,
+      jobId: String): Option[graft.maintain.Cluster.Result] =
+    policy.reclusterBytes.flatMap { threshold =>
+      val all = table.filesLocal(table.current)
+      val carried = graft.maintain.Cluster
+        .carrySet(all, policy.targetBytes / 2).map(_.path).toSet
+      val pending = all.filterNot(f => carried.contains(f.path)).map(_.bytes).sum
+      if (pending < threshold) None
+      else
+        try Some(graft.maintain.Cluster.runByDocId(table, jobId, policy.targetBytes))
+        catch {
+          case _: graft.table.CommitConflictException => None // re-plan next batch
+        }
+    }
 
   /** Threshold-gated snapshot expiry + orphan GC for [[start]]'s inline
     * maintenance. The gate is ONE metadata-dir listing (O(#versions)

@@ -118,6 +118,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("inline maintenance: auto-recluster keeps the swamp in ByDocId layout") {
+    val dir = tmpDir("stream-recluster")
+    val t = TokenTable.create(spark, dir)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[RawMessage]
+    // Recluster as soon as ANY bytes are out of layout (threshold 1):
+    // every batch triggers a pass, and incremental carry keeps each pass
+    // bounded to the new batch instead of the whole table.
+    val q = StreamingIngest.start(t, source.toDS(), tmpDir("ckpt-recluster"),
+      Trigger.ProcessingTime(0L),
+      maintenance = Some(MaintenancePolicy(
+        smallFileBytes = 1L << 20, maxSmallFiles = 1000, // compact stays quiet
+        targetBytes = 32L << 10, reclusterBytes = Some(1L))))
+    try {
+      (0 until 6).foreach { b =>
+        source.addData(msgs(b * 40, b * 40 + 40): _*)
+        q.processAllAvailable()
+      }
+      assert(t.scan().count() == 240, "every batch's rows present")
+      val ops = (0L to t.currentVersion).map(v => t.snapshotAt(v).operation)
+      assert(ops.count(_ == "cluster-by-docid") >= 2,
+        s"auto-recluster should fire repeatedly, ops=$ops")
+      // Layout: live files sorted by minDocId are mostly disjoint.
+      val files = t.filesLocal(t.current).sortBy(_.minDocId)
+      val pairs = files.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+      if (pairs.nonEmpty) {
+        val disjoint = pairs.count { case (a, b) => a.maxDocId < b.minDocId }
+        assert(disjoint.toDouble / pairs.size >= 0.5,
+          s"only $disjoint/${pairs.size} consecutive pairs disjoint after auto-recluster")
+      }
+      assert(t.scan().select("doc_id").distinct().count() == 240)
+    } finally q.stop()
+  }
+
   test("inline maintenance: expiry bounds live versions and files over a long swamp") {
     val dir = tmpDir("stream-expire")
     val t = TokenTable.create(spark, dir)
