@@ -218,6 +218,29 @@ object PlanAudit {
       } finally spark.conf.unset("graft.compact.reencodeBelowBytes")
     }
 
+    {
+      println(s"\n========== incremental recluster (carry >> rewrite) ==========")
+      val loc5 = s"${System.getProperty("java.io.tmpdir")}/graft_planaudit_inc"
+      Bench.wipeDir(loc5)
+      val t5 = TokenTable.create(spark, loc5)
+      (0 until 6).foreach { i =>
+        t5.append(TokenGen.asTokenRows(TokenGen.generate(
+          spark, 5000, idOffset = i * 5000L, numPartitions = 4)))
+      }
+      val full = graft.maintain.Cluster.run(t5, graft.maintain.Cluster.ByDocId,
+        "pa-inc-full", targetBytes = 256L * 1024)
+      val tableBytes = t5.filesLocal(t5.current).map(_.bytes).sum
+      // 5% new data interleaving the key range, then an incremental pass.
+      t5.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 1500, idOffset = 7000, numPartitions = 2)))
+      val inc = graft.maintain.Cluster.run(t5, graft.maintain.Cluster.ByDocId,
+        "pa-inc-minor", targetBytes = 256L * 1024)
+      println(s"full pass: carried=${full.carriedFiles} rewrote=$tableBytes B; " +
+        s"incremental pass: carried=${inc.carriedFiles} files, " +
+        s"rewrote=${inc.rewrittenBytes} B " +
+        s"(${100 * inc.rewrittenBytes / math.max(1, tableBytes)}% of table)")
+    }
+
     spark.stop()
   }
 }

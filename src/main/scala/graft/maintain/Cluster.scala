@@ -279,8 +279,11 @@ object Cluster {
     } else f
 
   def run(table: TokenTable, curve: Curve, jobId: String,
-      targetBytes: Long = 128L * 1024 * 1024): Result = {
-    if (curve == ByDocId) return runByDocId(table, jobId, targetBytes)
+      targetBytes: Long = 128L * 1024 * 1024,
+      incremental: Boolean = true): Result = {
+    // Curve layouts always rewrite fully: manifests carry doc_id/n_tok
+    // bounds, not curve-key bounds, so no sound carry set exists.
+    if (curve == ByDocId) return runByDocId(table, jobId, targetBytes, incremental)
     val spark = table.spark
     import spark.implicits._
     val parent = table.current

@@ -102,10 +102,12 @@ object GraftProcedures {
 
   private object ClusterProc extends GraftProcedure(
     "cluster",
-    "Re-cluster the table: curve one of 'zorder', 'hilbert', 'by_doc_id'",
+    "Re-cluster the table: curve one of 'zorder', 'hilbert', 'by_doc_id'; " +
+      "by_doc_id is incremental unless full => true",
     Seq(in("table", StringType),
       in("curve", StringType, "'zorder'"),
-      in("target_bytes", LongType, (128L * 1024 * 1024).toString)),
+      in("target_bytes", LongType, (128L * 1024 * 1024).toString),
+      in("full", BooleanType, "false")),
     StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("buckets", IntegerType, nullable = false),
@@ -121,7 +123,8 @@ object GraftProcedures {
         case other => throw new IllegalArgumentException(
           s"unknown curve '$other'; use zorder | hilbert | by_doc_id")
       }
-      val r = Cluster.run(t, curve, "sql-cluster", targetBytes = in.getLong(2))
+      val r = Cluster.run(t, curve, "sql-cluster", targetBytes = in.getLong(2),
+        incremental = !in.getBoolean(3))
       Seq(InternalRow(r.snapshot.version, r.buckets, r.saltedBuckets,
         r.carriedFiles, r.rewrittenBytes))
     }

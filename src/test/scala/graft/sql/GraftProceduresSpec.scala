@@ -60,6 +60,20 @@ class GraftProceduresSpec extends SparkSpec {
         assert(checksum(TokenTable.open(spark, loc).scan()) == before,
           s"$curve clustering must preserve table state")
       }
+      // After the by_doc_id pass the layout is disjoint: a repeat call
+      // carries files (incremental default); full => true forces a
+      // complete rewrite.
+      val again = spark.sql(
+        s"CALL graft.system.cluster(table => '$loc', curve => 'by_doc_id', " +
+          "target_bytes => 65536)").head()
+      assert(again.getAs[Int]("carried_files") > 0,
+        "repeat by_doc_id cluster must carry in-layout files")
+      val forced = spark.sql(
+        s"CALL graft.system.cluster(table => '$loc', curve => 'by_doc_id', " +
+          "target_bytes => 65536, full => true)").head()
+      assert(forced.getAs[Int]("carried_files") == 0)
+      assert(checksum(TokenTable.open(spark, loc).scan()) == before)
+
       val e = intercept[Exception] {
         spark.sql(s"CALL graft.system.cluster('$loc', 'peano')").collect()
       }
