@@ -227,15 +227,18 @@ object PlanAudit {
         t5.append(TokenGen.asTokenRows(TokenGen.generate(
           spark, 5000, idOffset = i * 5000L, numPartitions = 4)))
       }
+      // A forced MAJOR pass (the generator's appends are already
+      // range-partitioned, so the carry set would otherwise cover them).
       val full = graft.maintain.Cluster.run(t5, graft.maintain.Cluster.ByDocId,
-        "pa-inc-full", targetBytes = 256L * 1024)
+        "pa-inc-full", targetBytes = 256L * 1024, incremental = false)
       val tableBytes = t5.filesLocal(t5.current).map(_.bytes).sum
       // 5% new data interleaving the key range, then an incremental pass.
       t5.append(TokenGen.asTokenRows(TokenGen.generate(
         spark, 1500, idOffset = 7000, numPartitions = 2)))
       val inc = graft.maintain.Cluster.run(t5, graft.maintain.Cluster.ByDocId,
         "pa-inc-minor", targetBytes = 256L * 1024)
-      println(s"full pass: carried=${full.carriedFiles} rewrote=$tableBytes B; " +
+      println(s"major pass: carried=${full.carriedFiles}, " +
+        s"rewrote=${full.rewrittenBytes} B; " +
         s"incremental pass: carried=${inc.carriedFiles} files, " +
         s"rewrote=${inc.rewrittenBytes} B " +
         s"(${100 * inc.rewrittenBytes / math.max(1, tableBytes)}% of table)")
