@@ -266,4 +266,59 @@ object TextOps {
        |  md5(array_to_string(list_sort(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))), ' ')) AS fp
        |FROM documents""".stripMargin
   }
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * appendix A1.1): duplicate fractions of words, sliding 2-/3-grams
+    * and lines, as integer PERMILLE (float-free — the oracle hashes
+    * values exactly). Zero-shuffle scan projection; the word and line
+    * arrays materialize once per document (projection barrier), grams
+    * come from the codegen [[graft.functions.WordGrams]] kernel whose
+    * n < width whole-text collapse the SQL mirrors. The reference has
+    * no text analysis at all; these extend the C4/Gopher quality
+    * filters with the repetition family they were missing.
+    */
+  def repetitionQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextGrams
+    val base = spark.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"),
+      words(col("text")).as("ws"),
+      regexp_extract_all(col("text"), lit("[^\n]+"), lit(0)).as("ls"))
+    val g = base.select(
+      col("doc_id"), col("ws"), col("ls"),
+      TextGrams.sliding(col("ws"), 2).as("g2"),
+      TextGrams.sliding(col("ws"), 3).as("g3"))
+    g.select(
+      col("doc_id"),
+      size(col("ws")).cast("long").as("n_words"),
+      expr("CASE WHEN size(ws) = 0 THEN 0L ELSE (CAST(size(ws) AS BIGINT) - size(array_distinct(ws))) * 1000L div size(ws) END")
+        .as("dup_word_pm"),
+      expr("(CAST(size(g2) AS BIGINT) - size(array_distinct(g2))) * 1000L div size(g2)")
+        .as("dup_2gram_pm"),
+      expr("(CAST(size(g3) AS BIGINT) - size(array_distinct(g3))) * 1000L div size(g3)")
+        .as("dup_3gram_pm"),
+      expr("CASE WHEN size(ls) = 0 THEN 0L ELSE (CAST(size(ls) AS BIGINT) - size(array_distinct(ls))) * 1000L div size(ls) END")
+        .as("dup_line_pm"))
+  }
+
+  val repetitionSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS ws,
+       |    regexp_extract_all(text, '[^\\n]+') AS ls
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, ws, ls,
+       |    CASE WHEN len(ws) < 2 THEN [array_to_string(ws, ' ')]
+       |         ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) END AS g2,
+       |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+       |         ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END AS g3
+       |  FROM base
+       |)
+       |SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(CASE WHEN len(ws) = 0 THEN 0 ELSE (len(ws) - len(list_distinct(ws))) * 1000 // len(ws) END AS BIGINT) AS dup_word_pm,
+       |  CAST((len(g2) - len(list_distinct(g2))) * 1000 // len(g2) AS BIGINT) AS dup_2gram_pm,
+       |  CAST((len(g3) - len(list_distinct(g3))) * 1000 // len(g3) AS BIGINT) AS dup_3gram_pm,
+       |  CAST(CASE WHEN len(ls) = 0 THEN 0 ELSE (len(ls) - len(list_distinct(ls))) * 1000 // len(ls) END AS BIGINT) AS dup_line_pm
+       |FROM g""".stripMargin
 }

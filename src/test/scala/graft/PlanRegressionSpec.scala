@@ -33,6 +33,14 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!plan(df).contains("BroadcastExchange"))
   }
 
+  test("repetition metrics plan as a pure scan projection — zero exchanges, no lambdas") {
+    val df = ops.TextOps.repetitionQuery(spark, docs)
+    assert(shuffles(df) == 0, plan(df))
+    assert(!plan(df).contains("BroadcastExchange"))
+    assert(!plan(df).toLowerCase.contains("lambdafunction"),
+      "grams must come from the codegen WordGrams kernel, not HOFs")
+  }
+
   test("sequence packing plans exactly one full-data shuffle, offsets broadcast") {
     val df = ops.Corpus.packSequences(spark.read.parquet(s"$docs/documents.parquet"))
     assert(shuffles(df) == 1, plan(df))

@@ -220,6 +220,23 @@ class OpsSpec extends SparkSpec {
     assert(fps(0) == fps(1), "fingerprint must ignore order and multiplicity")
   }
 
+  test("repetition metrics: permille dup fractions for words, grams, lines") {
+    val dir = tmpDir("rep_docs")
+    Seq((1L, "a b a b"), (2L, "x\nx\ny"), (3L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.repetitionQuery(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // "a b a b": 4 words 2 distinct -> 500pm; bigrams [a b, b a, a b] -> 333pm;
+    // trigrams [a b a, b a b] -> 0; one line -> 0.
+    assert(out(1L) == ((4L, 500L, 333L, 0L, 0L)))
+    // "x\nx\ny": words [x,x,y] -> 333pm; lines [x,x,y] -> 333pm.
+    assert(out(2L) == ((3L, 333L, 0L, 0L, 333L)))
+    // Empty text: all zero (the n<width gram collapse yields one '' gram).
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("line_dedup_doc: first occurrence wins, empties and trailing parts exact") {
     import graft.functions.TextGrams
     val cases = Seq(
