@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word-gram kernel shared by the interpreted and generated paths.
@@ -26,6 +26,26 @@ object GramUtil {
     * `slice`-based chunker (`ceil(n/width)` chunks, last one short).
     * Null elements are skipped, exactly like concat_ws/array_join.
     */
+  /** Max multiplicity of any element (null elements skipped; 0 when
+    * the array is empty or all-null). See [[TopGramCount]].
+    */
+  def topCount(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val k = arr.getUTF8String(i)
+        val c = counts.merge(k, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best
+  }
+
   def grams(words: ArrayData, width: Int, stride: Int): ArrayData = {
     val n = words.numElements()
     val buf = new Array[UTF8String](width)
@@ -107,6 +127,36 @@ case class WordGrams(child: Expression, width: Int, stride: Int)
     copy(child = newChild)
 }
 
+/** Max multiplicity of any element in a string array (0 for empty) —
+  * the "top n-gram" half of Gopher's repetition signals: the fraction
+  * covered by the single most frequent gram. One HashMap pass per row,
+  * codegen'd as a static call (no interpreted lambda per element).
+  */
+case class TopGramCount(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "top_gram_count"
+  override def dataType: DataType = IntegerType
+  override lazy val deterministic: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_gram_count expects ARRAY<STRING>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramUtil.topCount(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramUtil.topCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Within-document line dedup kernel: split on '\n' BYTES (every part
   * kept, including empties and trailing empties — the split semantics
   * of Spark's `split(str, re, -1)` and DuckDB's `split`), keep the
@@ -178,6 +228,10 @@ object TextGrams {
   /** Tumbling word chunks: `ceil(n/width)` grams, last one short. */
   def tumbling(words: Column, width: Int): Column =
     GraftSqlBridge.column(WordGrams(GraftSqlBridge.expression(words), width, width))
+
+  /** Max multiplicity of any gram (see [[TopGramCount]]). */
+  def topCount(grams: Column): Column =
+    GraftSqlBridge.column(TopGramCount(GraftSqlBridge.expression(grams)))
 
   /** Session-local SQL registration of all text/vector/generator
     * kernels (`word_grams`, `quantize_vec`, `qdot_vec`, `token_seq`) —

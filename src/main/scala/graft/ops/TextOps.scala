@@ -287,6 +287,7 @@ object TextOps {
       col("doc_id"), col("ws"), col("ls"),
       TextGrams.sliding(col("ws"), 2).as("g2"),
       TextGrams.sliding(col("ws"), 3).as("g3"))
+      .withColumn("top2", TextGrams.topCount(col("g2")))
     g.select(
       col("doc_id"),
       size(col("ws")).cast("long").as("n_words"),
@@ -297,7 +298,8 @@ object TextOps {
       expr("(CAST(size(g3) AS BIGINT) - size(array_distinct(g3))) * 1000L div size(g3)")
         .as("dup_3gram_pm"),
       expr("CASE WHEN size(ls) = 0 THEN 0L ELSE (CAST(size(ls) AS BIGINT) - size(array_distinct(ls))) * 1000L div size(ls) END")
-        .as("dup_line_pm"))
+        .as("dup_line_pm"),
+      expr("CAST(top2 AS BIGINT) * 1000L div size(g2)").as("top_2gram_pm"))
   }
 
   val repetitionSql: String =
@@ -319,6 +321,7 @@ object TextOps {
        |  CAST(CASE WHEN len(ws) = 0 THEN 0 ELSE (len(ws) - len(list_distinct(ws))) * 1000 // len(ws) END AS BIGINT) AS dup_word_pm,
        |  CAST((len(g2) - len(list_distinct(g2))) * 1000 // len(g2) AS BIGINT) AS dup_2gram_pm,
        |  CAST((len(g3) - len(list_distinct(g3))) * 1000 // len(g3) AS BIGINT) AS dup_3gram_pm,
-       |  CAST(CASE WHEN len(ls) = 0 THEN 0 ELSE (len(ls) - len(list_distinct(ls))) * 1000 // len(ls) END AS BIGINT) AS dup_line_pm
+       |  CAST(CASE WHEN len(ls) = 0 THEN 0 ELSE (len(ls) - len(list_distinct(ls))) * 1000 // len(ls) END AS BIGINT) AS dup_line_pm,
+       |  CAST(list_max(list_transform(list_distinct(g2), x -> len(list_filter(g2, y -> y = x)))) * 1000 // len(g2) AS BIGINT) AS top_2gram_pm
        |FROM g""".stripMargin
 }

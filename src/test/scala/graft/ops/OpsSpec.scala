@@ -227,14 +227,18 @@ class OpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = TextOps.repetitionQuery(spark, dir)
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
-    // "a b a b": 4 words 2 distinct -> 500pm; bigrams [a b, b a, a b] -> 333pm;
-    // trigrams [a b a, b a b] -> 0; one line -> 0.
-    assert(out(1L) == ((4L, 500L, 333L, 0L, 0L)))
-    // "x\nx\ny": words [x,x,y] -> 333pm; lines [x,x,y] -> 333pm.
-    assert(out(2L) == ((3L, 333L, 0L, 0L, 333L)))
-    // Empty text: all zero (the n<width gram collapse yields one '' gram).
-    assert(out(3L) == ((0L, 0L, 0L, 0L, 0L)))
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // "a b a b": 4 words 2 distinct -> 500pm; bigrams [a b, b a, a b] ->
+    // dup 333pm, top gram "a b" covers 2/3 -> 666pm; trigrams
+    // [a b a, b a b] -> 0; one line -> 0.
+    assert(out(1L) == ((4L, 500L, 333L, 0L, 0L, 666L)))
+    // "x\nx\ny": words [x,x,y] -> 333pm; lines [x,x,y] -> 333pm;
+    // bigrams [x x, x y] unique -> top 500pm.
+    assert(out(2L) == ((3L, 333L, 0L, 0L, 333L, 500L)))
+    // Empty text: zeros except the n<width collapse yields one '' gram,
+    // so the top gram trivially covers 1000pm.
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0L, 1000L)))
   }
 
   test("line_dedup_doc: first occurrence wins, empties and trailing parts exact") {
