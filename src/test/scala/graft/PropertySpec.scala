@@ -50,6 +50,42 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("carry set: mutually disjoint, greedily maximal, deterministic") {
+    import graft.maintain.Cluster
+    val genFile = for {
+      a <- Gen.choose(0, 50)
+      w <- Gen.choose(0, 10)
+      bytes <- Gen.choose(1L, 2000L)
+      id <- Gen.choose(0, 100000)
+    } yield DataFile(s"f$id-$a-$w", bytes, 1L,
+      f"d$a%03d", f"d${a + w}%03d", 1, 1, 1L, "s", "s")
+    val gen = for {
+      n <- Gen.choose(0, 40)
+      fs <- Gen.listOfN(n, genFile)
+      floor <- Gen.choose(1L, 1500L)
+    } yield (fs.distinctBy(_.path), floor)
+    check("carrySet", Prop.forAll(gen) { case (files, floor) =>
+      val carried = Cluster.carrySet(files, floor)
+      val ord = Search.utf8Ordering
+      def overlaps(a: DataFile, b: DataFile): Boolean =
+        ord.compare(a.minDocId, b.maxDocId) <= 0 &&
+          ord.compare(b.minDocId, a.maxDocId) <= 0
+      val pairwiseDisjoint = carried.combinations(2).forall {
+        case Seq(a, b) => !overlaps(a, b)
+      }
+      val allBigEnough = carried.forall(_.bytes >= floor)
+      // Greedy maximality: every eligible file NOT carried overlaps a
+      // carried one (nothing disjoint-and-big-enough is left behind).
+      val excluded = files.filterNot(f => carried.exists(_.path == f.path))
+      val maximal = excluded.forall(f =>
+        f.bytes < floor || carried.exists(c => overlaps(f, c)))
+      val deterministic =
+        Cluster.carrySet(scala.util.Random.shuffle(files), floor)
+          .map(_.path).toSet == carried.map(_.path).toSet
+      pairwiseDisjoint && allBigEnough && maximal && deterministic
+    })
+  }
+
   test("commit cuts cover every row with sizes differing by at most one") {
     val gen = for {
       rows <- Gen.choose(0L, 100000L)
