@@ -46,17 +46,21 @@ object CompactScaleProbe {
       Bench.wipeDir(loc)
       (wall, r.bytesIn)
     }
-    // warm-up (JIT) at a quarter of the size, then measure both widths
-    // three times, report medians.
+    // Warm-up (JIT) at the small width, then INTERLEAVE the widths —
+    // three adjacent (p2, p8) pairs — and report the median of per-pair
+    // ratios: this box's speed drifts on hour scales (BASELINE.md), and
+    // alternation cancels slow drift out of the ratio where a
+    // block-of-w2-then-block-of-w8 design confounds it with width.
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     cycle(8)
-    val w2 = (0 until 3).map(_ => cycle(2))
-    val w8 = (0 until 3).map(_ => cycle(8))
+    val pairs = (0 until 3).map(_ => (cycle(2), cycle(8)))
+    val w2 = pairs.map(_._1); val w8 = pairs.map(_._2)
     val (t2, t8) = (med(w2.map(_._1)), med(w8.map(_._1)))
+    val pairEff = med(pairs.map { case ((a, _), (b, _)) => a / (4 * b) })
     val gb = w2.head._2 / 1e9
     println(f"compact-only scaling at ${rows / 1000000}M rows ($gb%.1f GB in): " +
       f"p2 med $t2%.2f s (${gb / t2}%.2f GB/s)  p8 med $t8%.2f s (${gb / t8}%.2f GB/s)  " +
-      f"efficiency ${t2 / (4 * t8)}%.2f  (runs p2=${w2.map(_._1).map(x => f"$x%.2f")} " +
+      f"pair-ratio median eff $pairEff%.2f  (runs p2=${w2.map(_._1).map(x => f"$x%.2f")} " +
       f"p8=${w8.map(_._1).map(x => f"$x%.2f")})")
     spark.stop()
   }
