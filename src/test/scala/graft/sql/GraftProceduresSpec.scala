@@ -102,6 +102,19 @@ class GraftProceduresSpec extends SparkSpec {
     }
   }
 
+  test("procedures work under any catalog name") {
+    spark.conf.set("spark.sql.catalog.lake", "graft.sql.GraftCatalog")
+    try {
+      val loc = seeded("proc_altname", rows = 100, commits = 2)
+      assert(spark.sql(s"CALL lake.system.snapshots('$loc')").count() == 3)
+      val r = spark.sql(
+        s"CALL lake.system.compact(table => '$loc', target_bytes => 1048576)").head()
+      assert(r.getAs[Int]("files_in") > 0)
+      assert(spark.sql(
+        s"SELECT count(*) FROM lake.`$loc`").head().getLong(0) == 100)
+    } finally spark.conf.unset("spark.sql.catalog.lake")
+  }
+
   test("unknown procedure and SHOW PROCEDURES") {
     withCatalog {
       val e = intercept[Exception] {
