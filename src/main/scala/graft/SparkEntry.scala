@@ -69,6 +69,7 @@ object SparkEntry {
     "text_scrub" -> ((s, d) => ops.TextOps.scrubQuery(s, d)),
     "text_line_dedup_doc" -> ((s, d) => ops.TextOps.lineDedupDocQuery(s, d)),
     "text_repetition" -> ((s, d) => ops.TextOps.repetitionQuery(s, d)),
+    "text_lang_confusion" -> ((s, d) => ops.TextOps.langConfusionQuery(s, d)),
     "text_lm_perplexity" -> ((s, d) => ops.LmScore.scoreQuery(s, d)),
     "corpus_pipeline_e2e" -> ((s, d) => ops.Corpus.pipelineQuery(s, d)),
   )
@@ -121,6 +122,7 @@ object SparkEntry {
     "text_scrub" -> ops.TextOps.scrubSql,
     "text_line_dedup_doc" -> ops.TextOps.lineDedupDocSql,
     "text_repetition" -> ops.TextOps.repetitionSql,
+    "text_lang_confusion" -> ops.TextOps.langConfusionSql,
     "text_lm_perplexity" -> ops.LmScore.scoreSql,
     "corpus_pipeline_e2e" -> ops.Corpus.pipelineSql,
   )

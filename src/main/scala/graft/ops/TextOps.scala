@@ -244,6 +244,34 @@ object TextOps {
   private def sqlHits(stops: Seq[String]): String =
     s"len(regexp_extract_all(lower(text), '\\b(${stops.mkString("|")})\\b'))"
 
+  /** The langId expression as DuckDB SQL (shared by analyze and the
+    * confusion-matrix oracle).
+    */
+  private lazy val langCaseSql: String = {
+    val de = sqlHits(DeStops); val en = sqlHits(EnStops)
+    val es = sqlHits(EsStops); val fr = sqlHits(FrStops)
+    s"""CASE WHEN greatest($de,$en,$es,$fr) = 0 THEN 'und'
+       |     WHEN $de = greatest($de,$en,$es,$fr) THEN 'de'
+       |     WHEN $en = greatest($de,$en,$es,$fr) THEN 'en'
+       |     WHEN $es = greatest($de,$en,$es,$fr) THEN 'es'
+       |     ELSE 'fr' END""".stripMargin
+  }
+
+  /** Language-ID confusion matrix against the corpus's ground-truth
+    * `lang` column: one row per (actual, predicted) pair with counts —
+    * the evaluation harness for the n-gram langId heuristic. One hash
+    * aggregate over a scan projection.
+    */
+  def langConfusionQuery(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).cast("long").as("n"))
+
+  val langConfusionSql: String =
+    s"""SELECT lang, $langCaseSql AS lang_pred, CAST(count(*) AS BIGINT) AS n
+       |FROM documents GROUP BY 1, 2""".stripMargin
+
   val analyzeSql: String = {
     val de = sqlHits(DeStops); val en = sqlHits(EnStops)
     val es = sqlHits(EsStops); val fr = sqlHits(FrStops)
