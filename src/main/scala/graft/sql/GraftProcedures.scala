@@ -47,7 +47,8 @@ object GraftProcedures {
   }
 
   private lazy val all: Map[String, GraftProcedure] = Seq(
-    CompactProc, ClusterProc, ExpireProc, SnapshotsProc).map(p => p.name -> p).toMap
+    CompactProc, ClusterProc, ExpireProc, SnapshotsProc, FilesProc)
+    .map(p => p.name -> p).toMap
 
   private def in(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
@@ -55,7 +56,11 @@ object GraftProcedures {
   private def in(name: String, dt: DataType, default: String): ProcedureParameter =
     ProcedureParameter.in(name, dt).defaultValue(default).build()
 
-  private def utf8(r: InternalRow, i: Int): String = r.getUTF8String(i).toString
+  private def utf8(r: InternalRow, i: Int): String = {
+    if (r.isNullAt(i)) throw new IllegalArgumentException(
+      "procedure argument must not be NULL (argument index " + i + ")")
+    r.getUTF8String(i).toString
+  }
 
   /** Unbound+bound in one object (the parameter list is static — there
     * is nothing to specialize against the input schema).
@@ -143,6 +148,34 @@ object GraftProcedures {
       val t = TokenTable.open(spark, utf8(in, 0))
       val r = Expire.run(t, in.getInt(1), in.getLong(2))
       Seq(InternalRow(r.expiredSnapshots.size, r.deletedFiles))
+    }
+  }
+
+  private object FilesProc extends GraftProcedure(
+    "files",
+    "List the file inventory with per-file stats for a snapshot (version -1 = current)",
+    Seq(in("table", StringType), in("version", LongType, "-1")),
+    StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("min_doc_id", StringType, nullable = true),
+      StructField("max_doc_id", StringType, nullable = true),
+      StructField("min_n_tok", IntegerType, nullable = false),
+      StructField("max_n_tok", IntegerType, nullable = false),
+      StructField("sum_n_tok", LongType, nullable = false)))) {
+    override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
+      val t = TokenTable.open(spark, utf8(in, 0))
+      val v = in.getLong(1)
+      val snap = if (v < 0) t.current else t.snapshotAt(v)
+      // Driver materialization is O(#files) — the same planning-class
+      // floor as any maintenance plan; for set ops over huge
+      // inventories use the distributed `TokenTable.files` Dataset.
+      t.filesStream(snap).map { f =>
+        InternalRow(UTF8String.fromString(f.path), f.bytes, f.rows,
+          UTF8String.fromString(f.minDocId), UTF8String.fromString(f.maxDocId),
+          f.minNtok, f.maxNtok, f.sumNtok)
+      }.toSeq
     }
   }
 

@@ -115,6 +115,30 @@ class GraftProceduresSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.catalog.lake")
   }
 
+  test("CALL system.files lists the inventory with exact stats; version pins a snapshot") {
+    withCatalog {
+      val loc = seeded("proc_files", rows = 200, commits = 4)
+      val t = TokenTable.open(spark, loc)
+      val manifest = t.filesLocal(t.current)
+      val listed = spark.sql(s"CALL graft.system.files('$loc')")
+      assert(listed.count() == manifest.size)
+      assert(listed.selectExpr("sum(bytes)").head().getLong(0) ==
+        manifest.map(_.bytes).sum)
+      assert(listed.selectExpr("sum(rows)").head().getLong(0) == 200L)
+      assert(listed.selectExpr("min(min_doc_id)").head().getString(0) ==
+        manifest.map(_.minDocId).min)
+      // Pin an earlier version: fewer files.
+      val atV1 = spark.sql(
+        s"CALL graft.system.files(table => '$loc', version => 1)")
+      assert(atV1.count() < manifest.size && atV1.count() > 0)
+      // NULL argument fails loudly, not with an NPE.
+      val e = intercept[Exception] {
+        spark.sql("CALL graft.system.files(CAST(NULL AS STRING))").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("null"))
+    }
+  }
+
   test("unknown procedure and SHOW PROCEDURES") {
     withCatalog {
       val e = intercept[Exception] {
@@ -123,7 +147,7 @@ class GraftProceduresSpec extends SparkSpec {
       assert(e.getMessage.contains("frobnicate"))
       val listed = spark.sql("SHOW PROCEDURES IN graft.system")
         .select("procedure_name").collect().map(_.getString(0)).toSet
-      assert(Set("compact", "cluster", "expire_snapshots", "snapshots")
+      assert(Set("compact", "cluster", "expire_snapshots", "snapshots", "files")
         .subsetOf(listed))
     }
   }
