@@ -102,8 +102,13 @@ object Main {
         val res = Cluster.run(t, curve,
           kv.getOrElse("job.id", s"$cmd-${java.util.UUID.randomUUID()}"),
           kv.getOrElse("table.target_file_bytes",
-            GraftConfig.DefaultTargetFileBytes.toString).toLong)
-        println(s"$cmd: ${res.buckets} buckets (${res.saltedBuckets} salted) -> v${res.snapshot.version}")
+            GraftConfig.DefaultTargetFileBytes.toString).toLong,
+          // cluster-docid is incremental unless full=true (the periodic
+          // consolidating pass incremental mode relies on); curves
+          // always rewrite fully.
+          incremental = !kv.getOrElse("full", "false").toBoolean)
+        println(s"$cmd: ${res.buckets} buckets (${res.saltedBuckets} salted, " +
+          s"${res.carriedFiles} carried) -> v${res.snapshot.version}")
       case "merge" =>
         val t = TokenTable.open(spark, need("table.path"))
         val src = TokenGen.generate(spark, need("rows").toLong,

@@ -26,26 +26,6 @@ object GramUtil {
     * `slice`-based chunker (`ceil(n/width)` chunks, last one short).
     * Null elements are skipped, exactly like concat_ws/array_join.
     */
-  /** Max multiplicity of any element (null elements skipped; 0 when
-    * the array is empty or all-null). See [[TopGramCount]].
-    */
-  def topCount(arr: ArrayData): Int = {
-    val n = arr.numElements()
-    if (n == 0) return 0
-    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
-    var best = 0
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val k = arr.getUTF8String(i)
-        val c = counts.merge(k, 1, (a, b) => a + b)
-        if (c > best) best = c
-      }
-      i += 1
-    }
-    best
-  }
-
   def grams(words: ArrayData, width: Int, stride: Int): ArrayData = {
     val n = words.numElements()
     val buf = new Array[UTF8String](width)
@@ -84,6 +64,26 @@ object GramUtil {
       }
       new GenericArrayData(out)
     }
+  }
+
+  /** Max multiplicity of any element (null elements skipped; 0 when
+    * the array is empty or all-null). See [[TopGramCount]].
+    */
+  def topCount(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val k = arr.getUTF8String(i)
+        val c = counts.merge(k, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best
   }
 }
 

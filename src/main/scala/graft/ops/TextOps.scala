@@ -278,11 +278,7 @@ object TextOps {
     s"""SELECT doc_id,
        |  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS tok_ws,
        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]{1,4}|[^a-z0-9\\s]')) AS BIGINT) AS tok_bpe,
-       |  CASE WHEN greatest($de,$en,$es,$fr) = 0 THEN 'und'
-       |       WHEN $de = greatest($de,$en,$es,$fr) THEN 'de'
-       |       WHEN $en = greatest($de,$en,$es,$fr) THEN 'en'
-       |       WHEN $es = greatest($de,$en,$es,$fr) THEN 'es'
-       |       ELSE 'fr' END AS lang_pred,
+       |  $langCaseSql AS lang_pred,
        |  CAST(greatest(0, least(100,
        |    least(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 50)
        |    + least($en * 5, 30)

@@ -56,10 +56,24 @@ object GraftProcedures {
   private def in(name: String, dt: DataType, default: String): ProcedureParameter =
     ProcedureParameter.in(name, dt).defaultValue(default).build()
 
-  private def utf8(r: InternalRow, i: Int): String = {
+  // InternalRow getters return 0/false for NULL slots — every accessor
+  // must guard, or `target_bytes => NULL` silently becomes 0 (which
+  // would drive bucket math to Int.MaxValue) instead of failing loudly.
+  private def requireSet(r: InternalRow, i: Int): Unit =
     if (r.isNullAt(i)) throw new IllegalArgumentException(
       "procedure argument must not be NULL (argument index " + i + ")")
-    r.getUTF8String(i).toString
+
+  private def utf8(r: InternalRow, i: Int): String = {
+    requireSet(r, i); r.getUTF8String(i).toString
+  }
+  private def long(r: InternalRow, i: Int): Long = { requireSet(r, i); r.getLong(i) }
+  private def int(r: InternalRow, i: Int): Int = { requireSet(r, i); r.getInt(i) }
+  private def bool(r: InternalRow, i: Int): Boolean = {
+    requireSet(r, i); r.getBoolean(i)
+  }
+  private def positive(v: Long, name: String): Long = {
+    if (v <= 0) throw new IllegalArgumentException(s"$name must be positive, got $v")
+    v
   }
 
   /** Unbound+bound in one object (the parameter list is static — there
@@ -100,7 +114,8 @@ object GraftProcedures {
       StructField("bytes_in", LongType, nullable = false)))) {
     override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
       val t = TokenTable.open(spark, utf8(in, 0))
-      val r = Compact.run(t, in.getLong(1), "sql-compact", parallelism = in.getInt(2))
+      val r = Compact.run(t, positive(long(in, 1), "target_bytes"), "sql-compact",
+        parallelism = positive(int(in, 2), "parallelism").toInt)
       Seq(InternalRow(r.snapshot.version, r.binsRewritten, r.filesIn, r.filesOut, r.bytesIn))
     }
   }
@@ -128,8 +143,9 @@ object GraftProcedures {
         case other => throw new IllegalArgumentException(
           s"unknown curve '$other'; use zorder | hilbert | by_doc_id")
       }
-      val r = Cluster.run(t, curve, "sql-cluster", targetBytes = in.getLong(2),
-        incremental = !in.getBoolean(3))
+      val r = Cluster.run(t, curve, "sql-cluster",
+        targetBytes = positive(long(in, 2), "target_bytes"),
+        incremental = !bool(in, 3))
       Seq(InternalRow(r.snapshot.version, r.buckets, r.saltedBuckets,
         r.carriedFiles, r.rewrittenBytes))
     }
@@ -146,7 +162,7 @@ object GraftProcedures {
       StructField("deleted_files", LongType, nullable = false)))) {
     override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
       val t = TokenTable.open(spark, utf8(in, 0))
-      val r = Expire.run(t, in.getInt(1), in.getLong(2))
+      val r = Expire.run(t, positive(int(in, 1), "retain_last").toInt, long(in, 2))
       Seq(InternalRow(r.expiredSnapshots.size, r.deletedFiles))
     }
   }
@@ -166,7 +182,7 @@ object GraftProcedures {
       StructField("sum_n_tok", LongType, nullable = false)))) {
     override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
       val t = TokenTable.open(spark, utf8(in, 0))
-      val v = in.getLong(1)
+      val v = long(in, 1)
       val snap = if (v < 0) t.current else t.snapshotAt(v)
       // Driver materialization is O(#files) — the same planning-class
       // floor as any maintenance plan; for set ops over huge
@@ -192,6 +208,9 @@ object GraftProcedures {
     override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
       val loc = utf8(in, 0)
       val head = Format.currentVersion(loc)
+      // Fail loudly like every other procedure (TokenTable.open's
+      // guard), not "0 snapshots" for a mistyped path.
+      if (head < 0) throw new IllegalArgumentException(s"no table at $loc")
       (0L to head)
         .filter(v => java.nio.file.Files.exists(Format.versionFile(loc, v)))
         .map { v =>

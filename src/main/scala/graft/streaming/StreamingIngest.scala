@@ -110,22 +110,44 @@ object StreamingIngest {
 
   /** Threshold-gated INCREMENTAL recluster for [[start]]'s inline
     * maintenance (off unless the policy sets `reclusterBytes`). The
-    * gate evaluates the same carry set the recluster itself would use:
-    * bytes outside it are exactly the not-in-layout data a pass would
-    * rewrite, so the trigger fires when a pass is worth its cost and the
-    * pass then costs O(those bytes) — prior outputs carry with zero IO.
-    * Planning is O(#files) driver metadata per batch (the accepted
-    * Iceberg-class floor; the clustering job needs the same plan
-    * anyway). Runs BEFORE maybeCompact: a fired recluster also packs
-    * the small files, and compact's own gate then no-ops.
+    * gate counts bytes of files that MUTUALLY OVERLAP WITHIN the
+    * rewrite set (everything outside the carry set), plus any
+    * stats-less file: that is exactly the data a pass sorts apart, so
+    * the trigger fires only when a pass changes the layout — and the
+    * pass's own output (one internally-disjoint run) zeroes the count,
+    * so the gate CONVERGES. Two naive gates both loop forever:
+    * counting all non-carriable bytes re-fires on a table whose single
+    * run sits below the carry floor (disjoint files a pass cannot
+    * improve — size-packing them is [[maybeCompact]]'s job, which runs
+    * next), and counting overlap against CARRIED files re-fires on the
+    * steady multi-run state (a minor run legitimately interleaves the
+    * base run; only a consolidating pass that rewrites both would
+    * remove that, which is `incremental = false`'s job). Planning is
+    * O(#files) driver metadata per batch — the same inventory walk the
+    * clustering job itself needs ([[graft.maintain.Cluster.carrySet]]'s
+    * accepted Iceberg-class floor); [[maybeCompact]]'s O(1) streamed
+    * gate has no analog here because overlap is a GLOBAL property of
+    * the sorted interval set. Runs BEFORE maybeCompact: a fired
+    * recluster also packs the overlapping smalls, and compact's gate
+    * then handles only what clustering left disjoint.
     */
   def maybeRecluster(table: TokenTable, policy: MaintenancePolicy,
       jobId: String): Option[graft.maintain.Cluster.Result] =
     policy.reclusterBytes.flatMap { threshold =>
       val all = table.filesLocal(table.current)
+      val ord = graft.functions.Search.utf8Ordering
       val carried = graft.maintain.Cluster
         .carrySet(all, policy.targetBytes / 2).map(_.path).toSet
-      val pending = all.filterNot(f => carried.contains(f.path)).map(_.bytes).sum
+      val rewrite = all.filterNot(f => carried.contains(f.path))
+      val noStats = rewrite.filter(f => f.minDocId == null || f.maxDocId == null)
+      val sorted = rewrite.filterNot(f => f.minDocId == null || f.maxDocId == null)
+        .sortBy(f => (f.minDocId, f.path))(Ordering.Tuple2(ord, Ordering.String))
+      val overlapping = sorted.indices.filter { i =>
+        (i > 0 && ord.compare(sorted(i - 1).maxDocId, sorted(i).minDocId) >= 0) ||
+          (i < sorted.length - 1 &&
+            ord.compare(sorted(i).maxDocId, sorted(i + 1).minDocId) >= 0)
+      }.map(sorted)
+      val pending = (noStats ++ overlapping).map(_.bytes).sum
       if (pending < threshold) None
       else
         try Some(graft.maintain.Cluster.runByDocId(table, jobId, policy.targetBytes))

@@ -131,11 +131,27 @@ class GraftProceduresSpec extends SparkSpec {
       val atV1 = spark.sql(
         s"CALL graft.system.files(table => '$loc', version => 1)")
       assert(atV1.count() < manifest.size && atV1.count() > 0)
-      // NULL argument fails loudly, not with an NPE.
+      // NULL arguments fail loudly (string AND numeric — InternalRow
+      // getters would otherwise coerce NULL to 0), as do non-positive
+      // sizes and a mistyped snapshots path.
       val e = intercept[Exception] {
         spark.sql("CALL graft.system.files(CAST(NULL AS STRING))").collect()
       }
       assert(e.getMessage.toLowerCase.contains("null"))
+      val e2 = intercept[Exception] {
+        spark.sql(s"CALL graft.system.compact(table => '$loc', " +
+          "target_bytes => CAST(NULL AS BIGINT))").collect()
+      }
+      assert(e2.getMessage.toLowerCase.contains("null"))
+      val e3 = intercept[Exception] {
+        spark.sql(s"CALL graft.system.compact(table => '$loc', target_bytes => 0)")
+          .collect()
+      }
+      assert(e3.getMessage.contains("positive"))
+      val e4 = intercept[Exception] {
+        spark.sql("CALL graft.system.snapshots('/no/such/table')").collect()
+      }
+      assert(e4.getMessage.contains("no table"))
     }
   }
 

@@ -123,9 +123,11 @@ class StreamingSpec extends SparkSpec {
     val t = TokenTable.create(spark, dir)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val source = MemoryStream[RawMessage]
-    // Recluster as soon as ANY bytes are out of layout (threshold 1):
-    // every batch triggers a pass, and incremental carry keeps each pass
-    // bounded to the new batch instead of the whole table.
+    // Recluster as soon as ANY bytes mutually overlap (threshold 1):
+    // each batch's appends overlap the prior run lexicographically, so
+    // passes fire and consolidate; once consolidated into one run the
+    // gate reads zero and quiesces (convergence is the point of the
+    // overlap-within-rewrite-set gate).
     val q = StreamingIngest.start(t, source.toDS(), tmpDir("ckpt-recluster"),
       Trigger.ProcessingTime(0L),
       maintenance = Some(MaintenancePolicy(
