@@ -73,19 +73,25 @@ object Delete {
       }
       case Or(l, r) =>
         for (a <- docIdCover(l); b <- docIdCover(r)) yield normalizeIvs(a ++ b)
-      case EqualTo(a, Literal(v, _)) if doc(a) => Some(Seq((Some(s(v)), Some(s(v)))))
-      case EqualTo(Literal(v, _), a) if doc(a) => Some(Seq((Some(s(v)), Some(s(v)))))
-      case GreaterThan(a, Literal(v, _)) if doc(a) => Some(Seq((Some(s(v)), None)))
-      case GreaterThanOrEqual(a, Literal(v, _)) if doc(a) => Some(Seq((Some(s(v)), None)))
-      case LessThan(a, Literal(v, _)) if doc(a) => Some(Seq((None, Some(s(v)))))
-      case LessThanOrEqual(a, Literal(v, _)) if doc(a) => Some(Seq((None, Some(s(v)))))
-      case GreaterThan(Literal(v, _), a) if doc(a) => Some(Seq((None, Some(s(v)))))
-      case GreaterThanOrEqual(Literal(v, _), a) if doc(a) => Some(Seq((None, Some(s(v)))))
-      case LessThan(Literal(v, _), a) if doc(a) => Some(Seq((Some(s(v)), None)))
-      case LessThanOrEqual(Literal(v, _), a) if doc(a) => Some(Seq((Some(s(v)), None)))
-      case In(a, vs) if doc(a) && vs.forall(_.isInstanceOf[Literal]) =>
+      // Every literal pattern guards `v != null` (ADVICE r4): a NULL
+      // literal comparison (`doc_id = NULL`, `doc_id IN ('a', NULL)`)
+      // normally folds away upstream (NullPropagation), but a shape that
+      // survives must fall through to None — the sound unbounded cover —
+      // instead of NPE-ing in the UTF8String cast.
+      case EqualTo(a, Literal(v, _)) if doc(a) && v != null => Some(Seq((Some(s(v)), Some(s(v)))))
+      case EqualTo(Literal(v, _), a) if doc(a) && v != null => Some(Seq((Some(s(v)), Some(s(v)))))
+      case GreaterThan(a, Literal(v, _)) if doc(a) && v != null => Some(Seq((Some(s(v)), None)))
+      case GreaterThanOrEqual(a, Literal(v, _)) if doc(a) && v != null => Some(Seq((Some(s(v)), None)))
+      case LessThan(a, Literal(v, _)) if doc(a) && v != null => Some(Seq((None, Some(s(v)))))
+      case LessThanOrEqual(a, Literal(v, _)) if doc(a) && v != null => Some(Seq((None, Some(s(v)))))
+      case GreaterThan(Literal(v, _), a) if doc(a) && v != null => Some(Seq((None, Some(s(v)))))
+      case GreaterThanOrEqual(Literal(v, _), a) if doc(a) && v != null => Some(Seq((None, Some(s(v)))))
+      case LessThan(Literal(v, _), a) if doc(a) && v != null => Some(Seq((Some(s(v)), None)))
+      case LessThanOrEqual(Literal(v, _), a) if doc(a) && v != null => Some(Seq((Some(s(v)), None)))
+      case In(a, vs) if doc(a) &&
+          vs.forall(e => e.isInstanceOf[Literal] && e.asInstanceOf[Literal].value != null) =>
         Some(normalizeIvs(vs.map { case Literal(v, _) => (Some(s(v)), Some(s(v))): Iv }))
-      case StartsWith(a, Literal(p, _)) if doc(a) =>
+      case StartsWith(a, Literal(p, _)) if doc(a) && p != null =>
         // Byte-successor of a UTF-8 prefix is fiddly (may not decode);
         // unbounded above is sound and still prunes everything below p.
         Some(Seq((Some(s(p)), None)))
@@ -209,28 +215,42 @@ object Delete {
       ColdPlan(Nil, Nil, Nil, rw.map(_.path), rw.map(_.bytes).sum)
   }
 
+  /** Resolve + normalize a DML predicate against the table schema once,
+    * on a scan plan, so classification sees bound AttributeReferences
+    * (names + types checked here — an unknown column fails loudly now,
+    * not mid-rewrite). ConstantFolding + NullPropagation +
+    * LikeSimplification normalize the shapes the classifier recognizes
+    * (LIKE 'p%' → StartsWith, literal arithmetic folded, null-literal
+    * comparisons → Literal(null) so `n_tok = CAST(NULL AS INT)` and
+    * `WHERE 1=0` short-circuit to the untouched class) without running
+    * the full optimizer, whose other rules could dissolve the Filter
+    * node itself. Shared by DELETE and UPDATE.
+    */
+  private[maintain] def resolveCondition(table: TokenTable,
+      parent: Snapshot, predicate: Column): Expression = {
+    import org.apache.spark.sql.catalyst.optimizer.{ConstantFolding, LikeSimplification, NullPropagation}
+    val analyzed = table.scan(parent).filter(predicate).queryExecution.analyzed
+    val simplified =
+      LikeSimplification(ConstantFolding(NullPropagation(ConstantFolding(analyzed))))
+    simplified.collectFirst { case f: Filter => f.condition }
+      .getOrElse(sys.error(s"unexpected analyzed DML plan: $simplified"))
+  }
+
   /** Delete every row satisfying `predicate` (over doc_id / tokens /
     * n_tok / source) from the table's current snapshot. Returns the
     * parent snapshot unchanged when nothing can match (a no-op delete
     * commits nothing, like Iceberg).
+    *
+    * NULL predicate semantics are SQL three-valued: a row is deleted
+    * only when the predicate is TRUE; rows where it evaluates to NULL
+    * are KEPT (survivors filter on `NOT coalesce(pred, false)` — plain
+    * `NOT pred` is itself NULL for those rows and would silently drop
+    * them, ADVICE r4).
     */
   def deleteWhere(table: TokenTable, predicate: Column, jobId: String): Result = {
     val spark = table.spark
     val parent = table.current
-
-    // Resolve the predicate against the table schema once, on a scan
-    // plan, so classification sees bound AttributeReferences (names +
-    // types checked here — an unknown column fails loudly now, not
-    // mid-rewrite). ConstantFolding + LikeSimplification normalize the
-    // shapes the classifier recognizes (LIKE 'p%' → StartsWith, literal
-    // arithmetic folded) without running the full optimizer, whose
-    // other rules could dissolve the Filter node itself.
-    val analyzed = table.scan(parent).filter(predicate).queryExecution.analyzed
-    val simplified = org.apache.spark.sql.catalyst.optimizer.LikeSimplification(
-      org.apache.spark.sql.catalyst.optimizer.ConstantFolding(analyzed))
-    val cond: Expression =
-      simplified.collectFirst { case f: Filter => f.condition }
-        .getOrElse(sys.error(s"unexpected analyzed delete plan: $simplified"))
+    val cond: Expression = resolveCondition(table, parent, predicate)
 
     // One streamed classification pass; the driver retains only the
     // dropped + rewritten file lists (the predicate's touch set). The
@@ -271,8 +291,9 @@ object Delete {
       if (decodeRels.isEmpty) Nil
       else {
         val paths = decodeRels.map(p => s"${table.location}/$p")
+        import org.apache.spark.sql.functions.{coalesce, lit}
         val survivors = spark.read.schema(table.schema).parquet(paths: _*)
-          .filter(!predicate)
+          .filter(!coalesce(predicate, lit(false)))
         table.writeDataFilesTo(survivors, s"data/$jobId-v${parent.version}",
           overwrite = true, sortBy = Some("doc_id"))
       }

@@ -4,7 +4,6 @@ import graft.lineage.Lineage
 import graft.table.{DataFile, ManifestFileIndex, Snapshot, TokenTable}
 import org.apache.spark.sql.{Column, functions => F}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.plans.logical.Filter
 
 /** Predicate UPDATE (M9, with [[Delete]]) — in-place column rewrite as
   * copy-on-write, completing the row-level DML triad (MERGE upserts,
@@ -33,6 +32,24 @@ object Update {
   /** Apply `assignments` (column name -> new value expression) to every
     * row satisfying `predicate`. Returns the parent snapshot unchanged
     * when no file can hold a matching row.
+    *
+    * Two invariants are enforced here (not in the SQL layer, so the
+    * programmatic API is equally safe):
+    *
+    *  - TYPE ALIGNMENT (ADVICE r4): each assignment value is cast to the
+    *    target column's exact type — an uncast `SET n_tok = n_tok / 2`
+    *    would coerce the CASE projection to DOUBLE and commit parquet
+    *    files whose n_tok column no longer matches the table schema,
+    *    breaking every later scan and every bytewise concat/cold-copy
+    *    schema-equality check. Impossible casts (array→int) fail loudly
+    *    at plan time; value-level failures (overflow, bad string) fail
+    *    at execution under ANSI cast semantics.
+    *  - `n_tok == size(tokens)` (VERDICT r4): n_tok is DERIVED state —
+    *    every stats consumer (packing, domain mix, sumNtok bookkeeping)
+    *    trusts it. Assigning `tokens` alone auto-derives n_tok from the
+    *    new array; assigning `n_tok` alone is rejected (nothing to
+    *    derive tokens from); assigning both is the explicit escape hatch
+    *    for a caller writing a consistent pair in one statement.
     */
   def updateWhere(table: TokenTable, assignments: Seq[(String, Column)],
       predicate: Column, jobId: String): Result = {
@@ -44,15 +61,39 @@ object Update {
         s"UPDATE cannot assign `$name` (doc_id is the clustering key; " +
           s"assignable columns: ${assignable.mkString(", ")})")
     }
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      "duplicate assignment targets")
+    val assignedNames = assignments.map(_._1).toSet
+    require(!(assignedNames.contains("n_tok") && !assignedNames.contains("tokens")),
+      "UPDATE cannot assign `n_tok` without `tokens`: n_tok is derived " +
+        "(n_tok == size(tokens) is a table invariant every stats consumer " +
+        "trusts) — assign tokens and n_tok is derived automatically, or " +
+        "assign both explicitly as a consistent pair")
+
+    // Resolve each assignment value's type once against the scan, then
+    // cast to the target column type where they differ.
+    val valueTypes = table.scan(parent)
+      .select(assignments.map { case (n, v) => v.as(n) }.toIndexedSeq: _*)
+      .schema.fields.map(_.dataType)
+    val typed: Seq[(String, Column)] =
+      assignments.zip(valueTypes).map { case ((name, v), src) =>
+        val dst = table.schema(name).dataType
+        if (src == dst) name -> v
+        else {
+          require(org.apache.spark.sql.catalyst.expressions.Cast.canAnsiCast(src, dst),
+            s"UPDATE cannot assign ${src.simpleString} to `$name` " +
+              s"(${dst.simpleString}): no ANSI cast exists")
+          name -> v.cast(dst)
+        }
+      }
+    val effective: Seq[(String, Column)] =
+      if (assignedNames.contains("tokens") && !assignedNames.contains("n_tok"))
+        typed :+ ("n_tok" -> F.size(typed.find(_._1 == "tokens").get._2).cast("int"))
+      else typed
 
     // Resolve + normalize the predicate exactly as Delete does, so the
     // planner sees the shapes the file classifier recognizes.
-    val analyzed = table.scan(parent).filter(predicate).queryExecution.analyzed
-    val simplified = org.apache.spark.sql.catalyst.optimizer.LikeSimplification(
-      org.apache.spark.sql.catalyst.optimizer.ConstantFolding(analyzed))
-    val cond: Expression =
-      simplified.collectFirst { case f: Filter => f.condition }
-        .getOrElse(sys.error(s"unexpected analyzed update plan: $simplified"))
+    val cond: Expression = Delete.resolveCondition(table, parent, predicate)
 
     var untouched = 0L
     var gMin: String = null; var gMax: String = null
@@ -87,10 +128,9 @@ object Update {
     // assignment RHS and the predicate see the ORIGINAL row (a
     // sequential withColumn chain would let `SET source = 'x'` flip a
     // `WHERE source = 'y'` predicate to false before the next
-    // assignment evaluates).
-    require(assignments.map(_._1).distinct.size == assignments.size,
-      "duplicate assignment targets")
-    val byName = assignments.toMap
+    // assignment evaluates). The derived n_tok re-evaluates the tokens
+    // RHS — also over the ORIGINAL row, so the pair stays consistent.
+    val byName = effective.toMap
     val rewritten = touched.select(table.schema.fieldNames.toIndexedSeq.map { n =>
       byName.get(n) match {
         case Some(v) => F.when(predicate, v).otherwise(F.col(n)).as(n)

@@ -90,6 +90,14 @@ object ManifestFileIndex {
     * conservative answer cannot be negated — keep the file.
     */
   def mightMatch(e: Expression, f: DataFile): Boolean = e match {
+    // Folded constants: a contradiction predicate (`WHERE 1=0` after
+    // ConstantFolding) or a null-yielding one (`n_tok = CAST(NULL AS
+    // INT)` after NullPropagation) is never TRUE for any row, so no
+    // file can match — without these cases the catch-all would classify
+    // every file as 'rewrite' and a provable no-op DELETE would decode
+    // and rewrite the whole table (ADVICE r4).
+    case Literal(b: Boolean, _) => b
+    case Literal(null, _) => false
     case And(l, r) => mightMatch(l, f) && mightMatch(r, f)
     case Or(l, r) => mightMatch(l, f) || mightMatch(r, f)
     case EqualTo(a: AttributeReference, Literal(v, _)) => rangeContains(a.name, f, v, v)
@@ -172,6 +180,7 @@ object ManifestFileIndex {
     */
   def mustMatchAll(e: Expression, f: DataFile): Boolean = e match {
     case Literal(true, _) => true // unconditional DELETE: drop metadata-only
+    case Literal(_, _) => false // false / null: no row satisfies it
     case And(l, r) => mustMatchAll(l, f) && mustMatchAll(r, f)
     case Or(l, r) => mustMatchAll(l, f) || mustMatchAll(r, f)
     case EqualTo(a: AttributeReference, Literal(v, _)) => wholeRangeIs(a.name, f, v)

@@ -63,6 +63,43 @@ class DeleteSpec extends SparkSpec {
     assert(t.currentVersion == v, "no-op DELETE must not commit a snapshot")
   }
 
+  test("delete: NULL-yielding predicate keeps every row (three-valued logic)") {
+    val t = clustered("delnull", rows = 800)
+    val total = t.scan().count()
+    val keep = checksum(t.scan())
+    // try_element_at far out of bounds is NULL for every row; NULL is
+    // not TRUE, so SQL DELETE must remove NOTHING. Before the null-safe
+    // survivor filter, `NOT pred` was also NULL and dropped ALL rows in
+    // the decode set (ADVICE r4 high).
+    val res = Delete.deleteWhere(t,
+      try_element_at(col("tokens"), lit(1000000)) > lit(0), "delnull-job")
+    assert(res.deletedRows == 0L, s"NULL predicate deleted rows: $res")
+    assert(t.scan().count() == total)
+    assert(checksum(t.scan()) == keep, "all rows must survive byte-identical")
+  }
+
+  test("delete: null/false literal predicates short-circuit to a no-op") {
+    val t = clustered("delconst", rows = 800)
+    val v = t.currentVersion
+    // Contradiction folds to Literal(false): provable no-op, no commit.
+    val r1 = Delete.deleteWhere(t, lit(1) === lit(0), "delfalse-job")
+    assert(r1.deletedRows == 0L && t.currentVersion == v,
+      "WHERE 1=0 must not decode, rewrite, or commit anything")
+    // Null-literal comparison folds to Literal(null) via NullPropagation.
+    val r2 = Delete.deleteWhere(t,
+      col("n_tok") === lit(null).cast("int"), "delnullc-job")
+    assert(r2.deletedRows == 0L && t.currentVersion == v,
+      "n_tok = CAST(NULL AS INT) must be a committed-nothing no-op")
+    // IN list containing NULL: matches only the non-null member; the
+    // null member must neither NPE the cover planner nor delete rows.
+    val one = t.scan().select("doc_id").orderBy("doc_id").head().getString(0)
+    val r3 = Delete.deleteWhere(t,
+      col("doc_id").isin(one, null), "delinnull-job")
+    assert(r3.deletedRows == 1L, s"IN ('$one', NULL) deletes exactly that id")
+    assert(t.scan().where(col("doc_id") === one).count() == 0)
+    assert(t.scan().count() == 799)
+  }
+
   test("delete: unconditional TRUE predicate drops every file metadata-only") {
     val t = clustered("delall", rows = 800)
     val res = Delete.deleteWhere(t, lit(true), "delall-job")

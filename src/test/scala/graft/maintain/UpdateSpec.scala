@@ -39,27 +39,68 @@ class UpdateSpec extends SparkSpec {
 
   test("update: all assignments see the ORIGINAL row (simultaneous semantics)") {
     val t = clustered("updsim", rows = 800)
-    // SET source = 'x', n_tok = 0 WHERE source = <original>: if the
-    // source assignment applied first, the n_tok assignment's predicate
-    // would no longer match and n_tok would keep its old value.
+    // SET source = 'x', tokens = slice(tokens,1,1) WHERE source =
+    // <original>: if the source assignment applied first, the tokens
+    // assignment's predicate would no longer match and tokens would
+    // keep their old length.
     val orig = t.scan().select("source").head().getString(0)
     val expect = t.scan().where(col("source") === orig).count()
     val res = Update.updateWhere(t,
-      Seq("source" -> lit("swapped"), "n_tok" -> lit(0)),
+      Seq("source" -> lit("swapped"), "tokens" -> slice(col("tokens"), 1, 1)),
       col("source") === orig, "updsim-job")
     assert(res.updatedRows == expect)
-    assert(t.scan().where(col("source") === "swapped" && col("n_tok") === 0)
-      .count() == expect,
-      "both assignments must land on every matched row")
+    assert(t.scan().where(col("source") === "swapped" && col("n_tok") === 1 &&
+        size(col("tokens")) === 1).count() == expect,
+      "both assignments must land on every matched row, n_tok derived")
   }
 
-  test("update: assignment RHS can reference the row's own columns") {
+  test("update: tokens-only assignment derives n_tok (invariant held)") {
     val t = clustered("updself", rows = 800)
     val before = t.scan().agg(sum(col("n_tok").cast("long"))).head().getLong(0)
-    Update.updateWhere(t, Seq("n_tok" -> (col("n_tok") + lit(1))),
+    // RHS references the row's own columns; n_tok is NOT assigned — the
+    // engine must derive it from the new array or sum(n_tok) silently
+    // diverges from sum(size(tokens)) (VERDICT r4).
+    Update.updateWhere(t,
+      Seq("tokens" -> concat(col("tokens"), array(lit(7)))),
       lit(true), "updself-job")
-    val after = t.scan().agg(sum(col("n_tok").cast("long"))).head().getLong(0)
-    assert(after == before + 800, "n_tok := n_tok + 1 over every row")
+    val after = t.scan()
+      .agg(sum(col("n_tok").cast("long")),
+        sum(size(col("tokens")).cast("long"))).head()
+    assert(after.getLong(0) == before + 800, "each row grew by one token")
+    assert(after.getLong(0) == after.getLong(1),
+      "n_tok == size(tokens) must hold after a tokens-only UPDATE")
+    // Manifest bookkeeping must agree with the data (sumNtok feeds
+    // packing / domain mix / bench tokens-per-sec).
+    assert(t.filesLocal(t.current).map(_.sumNtok).sum == after.getLong(0))
+  }
+
+  test("update: n_tok-only assignment is rejected (derived column)") {
+    val t = clustered("updntok", rows = 400)
+    intercept[IllegalArgumentException] {
+      Update.updateWhere(t, Seq("n_tok" -> (col("n_tok") + lit(1))),
+        lit(true), "updntok-job")
+    }
+  }
+
+  test("update: assignment values are cast to the table column type") {
+    val t = clustered("updcast", rows = 400)
+    // Int value into the string `source` column: legal ANSI cast — the
+    // written files must still carry a STRING source column (an uncast
+    // projection would commit an int column and corrupt the table).
+    val res = Update.updateWhere(t, Seq("source" -> col("n_tok")),
+      lit(true), "updcast-job")
+    assert(res.updatedRows == 400)
+    assert(t.scan().schema("source").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(t.scan().where(col("source") === col("n_tok").cast("string"))
+      .count() == 400)
+    // A second update over the rewritten files proves they re-read
+    // cleanly with the table schema (type corruption would throw here).
+    assert(checksum(t.scan())._1 == 400)
+    // Impossible cast fails loudly at plan time, before any rewrite.
+    intercept[IllegalArgumentException] {
+      Update.updateWhere(t, Seq("tokens" -> lit(5)), lit(true), "updbad-job")
+    }
   }
 
   test("update: doc_id is not assignable; no-op predicate commits nothing") {
