@@ -144,6 +144,75 @@ object Cluster {
   case class Result(snapshot: Snapshot, buckets: Int, saltedBuckets: Int,
       carriedFiles: Int = 0, rewrittenBytes: Long = 0L)
 
+  /** Everything clustering PLANNING needs from the inventory, folded in
+    * ONE streamed pass — O(1) driver memory regardless of file count
+    * (VERDICT r4 task 2: Compact/Merge/Delete/Update plan streamed;
+    * this closes the last maintenance op on the full-collect path).
+    * `sourceBounds` is bounded by source cardinality, not file count.
+    */
+  case class InventorySummary(files: Long, bytes: Long, rows: Long,
+      maxNtok: Int, sourceBounds: Set[String], anyMissingDocStats: Boolean)
+
+  def summarize(it: Iterator[DataFile]): InventorySummary = {
+    var files = 0L; var bytes = 0L; var rows = 0L
+    var maxNtok = Int.MinValue
+    var missing = false
+    val src = Set.newBuilder[String]
+    it.foreach { f =>
+      files += 1; bytes += f.bytes; rows += f.rows
+      if (f.maxNtok > maxNtok) maxNtok = f.maxNtok
+      if (f.minDocId == null || f.maxDocId == null) missing = true
+      if (f.minSource != null) src += f.minSource
+      if (f.maxSource != null) src += f.maxSource
+    }
+    InventorySummary(files, bytes, rows, maxNtok, src.result(), missing)
+  }
+
+  /** Carry-set cap: the streamed planner keeps at most this many
+    * candidates (largest-bytes first) — a smaller carry set is merely
+    * less incremental (more data re-sorts), never wrong, so the cap
+    * bounds driver memory without a correctness cost. 2^17 candidates
+    * ≈ 16 TB of carried 128 MB files — beyond that a full pass is due
+    * anyway.
+    */
+  val CarryCap: Int = 1 << 17
+
+  /** Streamed carry planning: one bounded-memory pass yields the
+    * [[InventorySummary]] AND the carry candidates (files >=
+    * `carryMinBytes`, capped at `cap` largest by a min-heap — the same
+    * bounded-heap trick Compact's streamed planner uses), then the
+    * greedy disjoint-interval selection runs over the capped set.
+    * Missing doc_id stats anywhere in the stream disable carrying
+    * entirely (no disjointness claim is sound), matching [[carrySet]].
+    */
+  def planCarryStreaming(it: Iterator[DataFile], carryMinBytes: Long,
+      cap: Int = CarryCap): (Seq[DataFile], InventorySummary) = {
+    var files = 0L; var bytes = 0L; var rows = 0L
+    var maxNtok = Int.MinValue
+    var missing = false
+    val src = Set.newBuilder[String]
+    // Min-heap by bytes (ordering negated: dequeue drops the SMALLEST
+    // kept candidate once over cap).
+    val heap = scala.collection.mutable.PriorityQueue.empty[DataFile](
+      Ordering.by((f: DataFile) => (-f.bytes, f.path)))
+    it.foreach { f =>
+      files += 1; bytes += f.bytes; rows += f.rows
+      if (f.maxNtok > maxNtok) maxNtok = f.maxNtok
+      if (f.minSource != null) src += f.minSource
+      if (f.maxSource != null) src += f.maxSource
+      if (f.minDocId == null || f.maxDocId == null) missing = true
+      else if (f.bytes >= carryMinBytes) {
+        heap += f
+        if (heap.size > cap) heap.dequeue()
+      }
+    }
+    val inv = InventorySummary(files, bytes, rows, maxNtok, src.result(), missing)
+    val carried =
+      if (missing) Nil
+      else carrySet(heap.dequeueAll.toSeq, carryMinBytes)
+    (carried, inv)
+  }
+
   /** The incremental carry set: a maximal mutually-range-disjoint
     * (inclusive [minDocId, maxDocId], UTF-8 order) subset of the live
     * files, chosen bytes-descending so prior cluster outputs win, each
@@ -191,24 +260,28 @@ object Cluster {
     val spark = table.spark
     import spark.implicits._
     val parent = table.current
-    val all = table.filesLocal(parent)
-    if (all.isEmpty) return Result(parent, 0, 0)
+    // ONE streamed planning pass — the driver holds the (capped) carry
+    // set and the fold totals, never the inventory (VERDICT r4 task 2).
+    val (carried, inv) =
+      if (incremental) planCarryStreaming(table.filesStream(parent), targetBytes / 2)
+      else (Nil, summarize(table.filesStream(parent)))
+    if (inv.files == 0) return Result(parent, 0, 0)
 
-    val carried = if (incremental) carrySet(all, targetBytes / 2) else Nil
     val carriedPaths = carried.map(_.path).toSet
-    val rewrite = all.filterNot(f => carriedPaths.contains(f.path))
-    if (rewrite.isEmpty) return Result(parent, 0, 0, carried.size, 0L)
+    val nRewrite = inv.files - carried.size
+    if (nRewrite == 0) return Result(parent, 0, 0, carried.size, 0L)
 
-    val totalBytes = rewrite.map(_.bytes).sum
-    val totalRows = rewrite.map(_.rows).sum
+    val totalBytes = inv.bytes - carried.map(_.bytes).sum
+    val totalRows = inv.rows - carried.map(_.rows).sum
     val buckets = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
-    // Input: the full manifest-pruned scan when everything rewrites
-    // (the common first pass), else a raw read of just the rewrite set.
+    // Input: the full manifest-indexed scan when everything rewrites
+    // (the common first pass), else the same scan EXCLUDING the carried
+    // files — either way the rewrite set's paths stream through the
+    // FileIndex, never through a driver-held list.
     val input =
-      if (carried.isEmpty) table.scan()
-      else spark.read.schema(table.schema)
-        .parquet(rewrite.map(f => s"${table.location}/${f.path}"): _*)
+      if (carried.isEmpty) table.scan(parent)
+      else table.scanExcluding(parent, carriedPaths)
 
     val fraction = math.min(1.0, 200000.0 / math.max(1L, totalRows))
     // Sort with Spark's UTF-8 binary string order, NOT Java's UTF-16
@@ -251,17 +324,22 @@ object Cluster {
 
     val out = table.writeDataFilesTo(clustered, s"data/$jobId-v${parent.version}",
       overwrite = true, sortBy = None)
+    // Lineage input is a bounded marker, not the rewrite path list —
+    // a full-rewrite's input set IS the inventory complement, which the
+    // driver deliberately never materializes.
     Lineage.completeTask(table, Lineage.TaskRecord(
-      jobId, "cluster-by-docid", rewrite.map(_.path), out,
+      jobId, "cluster-by-docid", Seq(s"<all-but-carried:$nRewrite-files>"), out,
       rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
       status = "done", durationMs = 0L))
-    val manifest =
-      if (carried.isEmpty) table.writeManifest(out)
-      else table.writeSurvivorManifest(parent,
-        removedPaths = rewrite.map(_.path).toSet, extra = out)
+    // Survivors are exactly carried ++ out (bounded): write the new
+    // manifest DIRECTLY instead of filtering the parent inventory.
+    val manifest = table.writeManifest(carried ++ out)
+    // removedPaths stays empty — commit's rewrite-vs-append test also
+    // keys on keepManifests == parent.manifests, which a fresh manifest
+    // list fails, so a lost CAS race still aborts for re-plan.
     val snap = table.commit(Some(parent), "cluster-by-docid",
       addManifests = Seq(manifest), keepManifests = Nil,
-      removedPaths = rewrite.map(_.path).toSet,
+      removedPaths = Set.empty,
       summary = Map(
         "buckets" -> (boundaries.length + 1).toString,
         "salted-buckets" -> salts.size.toString,
@@ -287,11 +365,13 @@ object Cluster {
     val spark = table.spark
     import spark.implicits._
     val parent = table.current
-    val all = table.filesLocal(parent)
-    if (all.isEmpty) return Result(parent, 0, 0)
+    // Streamed planning fold — totals, source bounds and maxNtok in one
+    // bounded-memory pass (the curve path never holds the inventory).
+    val inv = summarize(table.filesStream(parent))
+    if (inv.files == 0) return Result(parent, 0, 0)
 
-    val totalBytes = all.map(_.bytes).sum
-    val totalRows = all.map(_.rows).sum
+    val totalBytes = inv.bytes
+    val totalRows = inv.rows
     val buckets = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
 
     // Source dictionary WITHOUT a full-table distinct scan (at 100 TB
@@ -307,10 +387,9 @@ object Cluster {
         .sample(withReplacement = false, fraction, seed = 42L)
         .collect()
     }
-    val dict = (sampled.map(_.getString(1)).toSet ++
-      all.flatMap(f => Seq(f.minSource, f.maxSource)).filter(_ != null))
+    val dict = (sampled.map(_.getString(1)).toSet ++ inv.sourceBounds)
       .toSeq.sorted.zipWithIndex.toMap
-    val maxNtok = all.map(_.maxNtok).max
+    val maxNtok = inv.maxNtok
     val keyed = table.scan().withColumn("ckey", curveKey(curve, dict, maxNtok))
 
     // Re-derive sampled curve keys through Spark (same expression the
@@ -370,14 +449,19 @@ object Cluster {
       table.writeDataFilesTo(clustered, s"data/$jobId-v${parent.version}",
         overwrite = true, sortBy = None)
     }
+    // Bounded lineage-input marker — a full rewrite's input set is the
+    // whole inventory, which planning deliberately never materializes.
     Lineage.completeTask(table, Lineage.TaskRecord(
-      jobId, "cluster", all.map(_.path), out,
+      jobId, "cluster", Seq(s"<full-rewrite:${inv.files}-files>"), out,
       rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
       status = "done", durationMs = 0L))
     val manifest = timing("manifest") { table.writeManifest(out) }
+    // removedPaths empty: the rewrite-vs-append commit test keys on
+    // keepManifests == parent.manifests (fails here), so a lost CAS
+    // race still aborts for re-plan.
     val snap = table.commit(Some(parent), if (curve == ZOrder) "zorder" else "hilbert",
       addManifests = Seq(manifest), keepManifests = Nil,
-      removedPaths = all.map(_.path).toSet,
+      removedPaths = Set.empty,
       summary = Map(
         "buckets" -> (boundaries.length + 1).toString,
         "salted-buckets" -> salts.size.toString,

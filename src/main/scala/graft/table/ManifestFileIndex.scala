@@ -39,7 +39,8 @@ import org.apache.spark.unsafe.types.UTF8String
 class ManifestFileIndex(
     spark: SparkSession,
     location: String,
-    snapshot: Snapshot) extends FileIndex {
+    snapshot: Snapshot,
+    excludePaths: Set[String] = Set.empty) extends FileIndex {
 
   private val hadoopConf = spark.sessionState.newHadoopConf()
 
@@ -49,9 +50,17 @@ class ManifestFileIndex(
 
   override def refresh(): Unit = ()
 
-  private def streamFiles(): Iterator[DataFile] =
-    snapshot.manifests.iterator.flatMap(m =>
-      Manifests.readLocal(s"$location/$m", hadoopConf))
+  /** Every consumer drains inside try/finally: a predicate or status
+    * constructor that throws mid-stream must not strand the manifest
+    * reader's open handle.
+    */
+  private def withFiles[A](use: Iterator[DataFile] => A): A = {
+    val it = Manifests.stream(location, snapshot.manifests, hadoopConf)
+    try use(
+      if (excludePaths.isEmpty) it
+      else it.filter(f => !excludePaths.contains(f.path)))
+    finally it.close()
+  }
 
   private def status(f: DataFile): FileStatusWithMetadata =
     FileStatusWithMetadata(new FileStatus(
@@ -61,17 +70,17 @@ class ManifestFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val preds = dataFilters // partitionFilters are empty: unpartitioned relation
-    val kept = streamFiles()
+    val kept = withFiles(_
       .filter(f => preds.forall(p => ManifestFileIndex.mightMatch(p, f)))
       .map(status)
-      .toArray
+      .toArray)
     Seq(PartitionDirectory(InternalRow.empty, kept.toSeq))
   }
 
   override def inputFiles: Array[String] =
-    streamFiles().map(f => s"$location/${f.path}").toArray
+    withFiles(_.map(f => s"$location/${f.path}").toArray)
 
-  override lazy val sizeInBytes: Long = streamFiles().map(_.bytes).sum
+  override lazy val sizeInBytes: Long = withFiles(_.map(_.bytes).sum)
 }
 
 /** The stats-vs-predicate decision procedures, shared by the scan path

@@ -81,14 +81,25 @@ object Manifests {
     } finally writer.close()
   }
 
+  /** An Iterator that can be CLOSED before exhaustion. Every manifest
+    * stream returns this shape: a caller that drains (or whose read
+    * fails) needs nothing — the underlying reader closes itself — but a
+    * caller that stops early (take/limit/find) MUST `close()` or the
+    * current part file's handle is stranded (VERDICT r4 task 7).
+    * Idempotent close; `hasNext` is false after close.
+    */
+  trait CloseableIterator[A] extends Iterator[A] with AutoCloseable
+
   /** STREAM manifest rows from a manifest directory (driver- or
     * Spark-written parts) without a Spark job and without materializing
     * the row set: one row at a time off the parquet pages, so a caller
     * applying a filter (the [[ManifestFileIndex]] prune) holds only the
-    * survivors. Rows stream in deterministic part-file order; each part
-    * reader closes at exhaustion.
+    * survivors. Rows stream in deterministic part-file order; at most
+    * ONE part reader is open at a time — it closes at part exhaustion,
+    * on a mid-stream read failure (ADVICE r3), and on `close()` for
+    * early-abandoning callers.
     */
-  def readLocal(absDir: String, conf: Configuration): Iterator[DataFile] = {
+  def readLocal(absDir: String, conf: Configuration): CloseableIterator[DataFile] = {
     val dir = new org.apache.hadoop.fs.Path(absDir)
     val fs = dir.getFileSystem(conf)
     // A snapshot's manifests outlive the snapshot (GC only collects
@@ -101,43 +112,87 @@ object Manifests {
     val parts = fs.listStatus(dir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    parts.iterator.flatMap { st =>
-      new Iterator[DataFile] {
-        private val reader =
-          ParquetReader.builder(new GroupReadSupport(), st.getPath)
-            .withConf(conf).build()
-        private var nextGroup: Group = advance()
-        // Close at exhaustion AND on a mid-stream read failure — an
-        // exception that escapes through flatMap would otherwise strand
-        // the open file handle (ADVICE r3). A caller that abandons the
-        // iterator early (take/limit) still leaks; all current callers
-        // drain or fail, both now closed paths.
-        private def advance(): Group = {
+
+    new CloseableIterator[DataFile] {
+      private val partIt = parts.iterator
+      private var reader: ParquetReader[Group] = null
+      private var nextGroup: Group = advance()
+
+      private def advance(): Group = {
+        while (true) {
+          if (reader == null) {
+            if (!partIt.hasNext) return null
+            reader = ParquetReader
+              .builder(new GroupReadSupport(), partIt.next().getPath)
+              .withConf(conf).build()
+          }
           val g =
             try reader.read()
-            catch { case t: Throwable => reader.close(); throw t }
-          if (g == null) reader.close()
-          g
+            catch { case t: Throwable => close(); throw t }
+          if (g != null) return g
+          reader.close(); reader = null // part exhausted: next part
         }
-        override def hasNext: Boolean = nextGroup != null
-        override def next(): DataFile = {
-          val g = nextGroup
-          nextGroup = advance()
-          def optStr(f: String): String =
-            if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
-              g.getString(f, 0)
-            else null
-          DataFile(
-            path = optStr("path"),
-            bytes = g.getLong("bytes", 0),
-            rows = g.getLong("rows", 0),
-            minDocId = optStr("minDocId"), maxDocId = optStr("maxDocId"),
-            minNtok = g.getInteger("minNtok", 0),
-            maxNtok = g.getInteger("maxNtok", 0),
-            sumNtok = g.getLong("sumNtok", 0),
-            minSource = optStr("minSource"), maxSource = optStr("maxSource"))
-        }
+        null // unreachable
+      }
+
+      override def hasNext: Boolean = nextGroup != null
+
+      override def next(): DataFile = {
+        val g = nextGroup
+        if (g == null) throw new NoSuchElementException("manifest stream exhausted")
+        nextGroup = advance()
+        def optStr(f: String): String =
+          if (g.getType.containsField(f) && g.getFieldRepetitionCount(f) > 0)
+            g.getString(f, 0)
+          else null
+        DataFile(
+          path = optStr("path"),
+          bytes = g.getLong("bytes", 0),
+          rows = g.getLong("rows", 0),
+          minDocId = optStr("minDocId"), maxDocId = optStr("maxDocId"),
+          minNtok = g.getInteger("minNtok", 0),
+          maxNtok = g.getInteger("maxNtok", 0),
+          sumNtok = g.getLong("sumNtok", 0),
+          minSource = optStr("minSource"), maxSource = optStr("maxSource"))
+      }
+
+      override def close(): Unit = {
+        if (reader != null) { reader.close(); reader = null }
+        nextGroup = null
       }
     }
   }
+
+  /** Stream a whole SNAPSHOT'S inventory: the concatenation of its
+    * manifests' rows, one manifest at a time, closeable mid-stream.
+    * Shared by [[TokenTable.filesStream]] and [[ManifestFileIndex]] so
+    * there is one implementation of the cross-manifest handle handoff.
+    */
+  def stream(location: String, manifests: Seq[String],
+      conf: Configuration): CloseableIterator[DataFile] =
+    new CloseableIterator[DataFile] {
+      private val mans = manifests.iterator
+      private var cur: CloseableIterator[DataFile] = null
+      private var closed = false
+
+      override def hasNext: Boolean = {
+        if (closed) return false
+        while (cur == null || !cur.hasNext) {
+          if (cur != null) { cur.close(); cur = null }
+          if (!mans.hasNext) return false
+          cur = readLocal(s"$location/${mans.next()}", conf)
+        }
+        true
+      }
+
+      override def next(): DataFile = {
+        if (!hasNext) throw new NoSuchElementException("inventory stream exhausted")
+        cur.next()
+      }
+
+      override def close(): Unit = {
+        closed = true
+        if (cur != null) { cur.close(); cur = null }
+      }
+    }
 }

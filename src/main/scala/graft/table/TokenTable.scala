@@ -45,12 +45,13 @@ class TokenTable(val location: String, val spark: SparkSession) {
     * time ([[Manifests.readLocal]]) — O(1) memory regardless of file
     * count. This is how maintenance planning walks the inventory: a
     * 10^7-file snapshot streams through a bounded-memory pass instead of
-    * materializing a 10^7-element Seq.
+    * materializing a 10^7-element Seq. Callers that DRAIN (or whose
+    * read fails) need nothing more; a caller that abandons the stream
+    * early (take/limit/find) must `close()` it or the open part-file
+    * handle is stranded.
     */
-  def filesStream(s: Snapshot): Iterator[DataFile] = {
-    val conf = spark.sessionState.newHadoopConf()
-    s.manifests.iterator.flatMap(m => Manifests.readLocal(s"$location/$m", conf))
-  }
+  def filesStream(s: Snapshot): Manifests.CloseableIterator[DataFile] =
+    Manifests.stream(location, s.manifests, spark.sessionState.newHadoopConf())
 
   /** Row count above which survivor-manifest writes run distributed. */
   val ManifestDistributeThreshold: Long = 65536L
@@ -100,13 +101,21 @@ class TokenTable(val location: String, val spark: SparkSession) {
     * (see the index's scaladoc). This is the path every read-side query
     * takes, including time travel (any snapshot).
     */
-  def scan(s: Snapshot): DataFrame = {
+  def scan(s: Snapshot): DataFrame = scanExcluding(s, Set.empty)
+
+  /** [[scan]] minus the files named in `excluded` (table-relative
+    * paths). This is how incremental clustering reads "everything but
+    * the carried files" WITHOUT the driver ever materializing the
+    * complement path list: the exclusion set is bounded (the carry set
+    * is capped), the complement streams through the FileIndex.
+    */
+  def scanExcluding(s: Snapshot, excluded: Set[String]): DataFrame = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val dataSchema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
     val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val relation = HadoopFsRelation(
-      location = new ManifestFileIndex(spark, location, s),
+      location = new ManifestFileIndex(spark, location, s, excluded),
       partitionSchema = new StructType(),
       dataSchema = dataSchema,
       bucketSpec = None,

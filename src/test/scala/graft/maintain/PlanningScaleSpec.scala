@@ -85,6 +85,39 @@ class PlanningScaleSpec extends SparkSpec {
       s"coarse plan should stay selective, touched ${coarse.prune.touchedPaths.size}")
   }
 
+  test("clustering plans 10^6 files via the stream with a bounded carry heap") {
+    val t0 = System.nanoTime()
+    // Carry floor below the 100MB files: ~500k candidates, far over the
+    // cap — the heap must bound the carry set, never the inventory.
+    val (carried, inv) = Cluster.planCarryStreaming(
+      t.filesStream(t.current), carryMinBytes = 64L << 20, cap = 10000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(inv.files == N)
+    assert(inv.rows == 10L * N)
+    assert(inv.maxNtok == 32 && inv.sourceBounds == Set("web"))
+    assert(!inv.anyMissingDocStats)
+    assert(carried.nonEmpty && carried.size <= 10000,
+      s"carry cap must bound the plan, carried ${carried.size}")
+    assert(carried.forall(_.bytes == 100L << 20),
+      "only files above the carry floor qualify")
+    // Mutual doc_id-range disjointness (the carry soundness invariant).
+    val ord = graft.functions.Search.utf8Ordering
+    val sorted = carried.sortBy(_.minDocId)(ord)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(ord.lt(a.maxDocId, b.minDocId),
+        s"carried files must be range-disjoint: ${a.path} vs ${b.path}")
+      case _ =>
+    }
+    // Deterministic: replanning the same stream yields the same set.
+    val (carried2, _) = Cluster.planCarryStreaming(
+      t.filesStream(t.current), carryMinBytes = 64L << 20, cap = 10000)
+    assert(carried.map(_.path) == carried2.map(_.path))
+    // The curve path's fold: same totals, one streamed pass.
+    val inv2 = Cluster.summarize(t.filesStream(t.current))
+    assert(inv2 == inv)
+    assert(secs < 60, s"planning must be a metadata pass, took $secs s")
+  }
+
   test("survivor manifest for 10^6 files writes distributed, counts exact") {
     val removed = (0 until 100).map(i => f"data/f$i%07d.parquet").toSet
     val extra = Seq(DataFile("data/new-0.parquet", 5L << 20, 1000L,
