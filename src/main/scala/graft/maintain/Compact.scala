@@ -63,6 +63,43 @@ object Compact {
     (keyLocalPack(heap.dequeueAll.toSeq, targetBytes), total)
   }
 
+  /** RECHUNK planning (VERDICT r4 task 4): besides the ordinary small
+    * files, candidates include any file whose average parquet row group
+    * is below `fragGroupBytes` regardless of file size — the
+    * "permanently small groups" state a compact-only table settles into
+    * (concat preserves ingest-sized groups; PLANS.md documents ~2x scan
+    * cost). Fragmented files stranded without a packing partner become
+    * SINGLETON bins: a lone 64MB file of 1MB groups is worth a
+    * re-encode on its own. Bounded memory exactly as
+    * [[planBinsStreaming]] (same capped heap).
+    */
+  def planRechunkStreaming(files: Iterator[DataFile], targetBytes: Long,
+      smallFileFactor: Double = 0.75,
+      maxCandidates: Int = 1 << 17,
+      fragGroupBytes: Long = graft.table.TokenTable.RowGroupBytes / 2)
+      : (Seq[Seq[DataFile]], Long) = {
+    val threshold = (targetBytes * smallFileFactor).toLong
+    def fragmented(f: DataFile): Boolean =
+      f.groups > 1 && f.avgGroupBytes < fragGroupBytes
+    val heap = scala.collection.mutable.PriorityQueue.empty[DataFile](
+      Ordering.by((f: DataFile) => (f.bytes, f.path)))
+    var total = 0L
+    files.foreach { f =>
+      total += 1
+      if (f.bytes < threshold || fragmented(f)) {
+        heap += f
+        if (heap.size > maxCandidates) heap.dequeue()
+      }
+    }
+    val cands = heap.dequeueAll.toSeq
+    val bins = keyLocalPack(cands, targetBytes)
+    val packed = bins.flatten.map(_.path).toSet
+    val singles = cands
+      .filter(f => !packed.contains(f.path) && fragmented(f))
+      .sortBy(_.path).map(Seq(_))
+    (bins ++ singles, total)
+  }
+
   /** Pack candidates into KEY-ADJACENT bins: sorted by (minDocId UTF-8,
     * path), consecutive files pack next-fit up to `targetBytes`, so a
     * compacted output's doc_id range is the union of NEIGHBOURING
@@ -128,8 +165,17 @@ object Compact {
     *        conflict-abort-replan path (a purely racy test can pass
     *        without ever hitting it). No-op in production.
     */
+  /** @param rechunk re-encode mode: candidates additionally include
+    *        large-but-fragmented files (small average row groups), all
+    *        bins re-encode (consolidating groups up to the writer's
+    *        RowGroupBytes), singleton fragmented bins allowed. The
+    *        explicit convergence path for a table maintained by concat
+    *        compaction alone — `CALL graft.system.compact(...,
+    *        rechunk => true)`.
+    */
   def run(table: TokenTable, targetBytes: Long, jobId: String,
-      parallelism: Int = 8, beforeCommit: () => Unit = () => ()): Result = {
+      parallelism: Int = 8, beforeCommit: () => Unit = () => (),
+      rechunk: Boolean = false): Result = {
     val spark = table.spark
     val parent = table.current
     // Scope the execution to the snapshot it plans against: a re-run
@@ -143,7 +189,8 @@ object Compact {
     // the full inventory (VERDICT r3 task 4) — only the capped candidate
     // set survives the pass.
     val (planned, totalFiles) =
-      planBinsStreaming(table.filesStream(parent), targetBytes)
+      if (rechunk) planRechunkStreaming(table.filesStream(parent), targetBytes)
+      else planBinsStreaming(table.filesStream(parent), targetBytes)
     val plan = Lineage.planOrResume(table, Lineage.JobPlan(
       execId, "compact", parent.version,
       planned.zipWithIndex.map { case (b, i) => i.toString -> b.map(_.path) }.toMap))
@@ -201,12 +248,21 @@ object Compact {
                 df.coalesce(1), s"data/$execId/bin-$taskId",
                 overwrite = true, sortBy = Some("doc_id"))
             }
-            val avgBytes =
+            // Concat-vs-re-encode is ROW-GROUP-size aware (VERDICT r4
+            // task 4): concat preserves input groups verbatim, so the
+            // fragmentation measure is the bin's average GROUP size,
+            // not file size — a 64MB survivor of repeated concats can
+            // hold 1MB groups and must eventually consolidate. Unknown
+            // group counts (pre-field manifests) assume one group per
+            // file, which reduces to the old file-size heuristic.
+            // Rechunk mode re-encodes unconditionally.
+            val avgGroupBytes =
               if (binFiles.size == inputPaths.size && binFiles.nonEmpty)
-                binFiles.map(_.bytes).sum / binFiles.size
+                binFiles.map(_.bytes).sum /
+                  binFiles.map(f => math.max(1, f.groups).toLong).sum
               else 0L // resumed plan missing manifest rows: re-encode
             val out: Seq[DataFile] =
-              if (avgBytes >= reencodeBelow) {
+              if (!rechunk && avgGroupBytes >= reencodeBelow) {
                 // Clear any partial decode output from a crashed attempt
                 // under a different threshold conf, then pure-IO concat
                 // (no Spark job at all — the task is one streamed copy).

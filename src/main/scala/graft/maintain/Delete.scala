@@ -45,103 +45,6 @@ object Delete {
       untouchedFiles: Long, deletedRows: Long, rewrittenBytes: Long,
       decodedBytes: Long = 0L, coldCopiedBytes: Long = 0L)
 
-  /** doc_id COVER of a predicate: sorted disjoint string intervals
-    * (None endpoint = unbounded) containing every doc_id a matching row
-    * could possibly have; `None` overall = cannot bound (predicate
-    * involves other columns only, or an unrecognized shape). Used to
-    * drive the same row-group-level cold copy MERGE uses: a row group
-    * whose doc_id [min,max] intersects no cover interval provably holds
-    * no matching row, so its bytes carry into the new snapshot verbatim.
-    * Over-approximation is sound (extra decode); an under-approximation
-    * would resurrect deleted rows, so unknown shapes widen to None.
-    */
-  private[maintain] type Iv = (Option[String], Option[String])
-
-  private[maintain] def docIdCover(e: Expression): Option[Seq[Iv]] = {
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.unsafe.types.UTF8String
-    def doc(a: Expression): Boolean = a match {
-      case r: AttributeReference => r.name == "doc_id"
-      case _ => false
-    }
-    def s(v: Any): String = v.asInstanceOf[UTF8String].toString
-    e match {
-      case And(l, r) => (docIdCover(l), docIdCover(r)) match {
-        case (None, x) => x
-        case (x, None) => x
-        case (Some(a), Some(b)) => Some(intersectIvs(a, b))
-      }
-      case Or(l, r) =>
-        for (a <- docIdCover(l); b <- docIdCover(r)) yield normalizeIvs(a ++ b)
-      // Every literal pattern guards `v != null` (ADVICE r4): a NULL
-      // literal comparison (`doc_id = NULL`, `doc_id IN ('a', NULL)`)
-      // normally folds away upstream (NullPropagation), but a shape that
-      // survives must fall through to None — the sound unbounded cover —
-      // instead of NPE-ing in the UTF8String cast.
-      case EqualTo(a, Literal(v, _)) if doc(a) && v != null => Some(Seq((Some(s(v)), Some(s(v)))))
-      case EqualTo(Literal(v, _), a) if doc(a) && v != null => Some(Seq((Some(s(v)), Some(s(v)))))
-      case GreaterThan(a, Literal(v, _)) if doc(a) && v != null => Some(Seq((Some(s(v)), None)))
-      case GreaterThanOrEqual(a, Literal(v, _)) if doc(a) && v != null => Some(Seq((Some(s(v)), None)))
-      case LessThan(a, Literal(v, _)) if doc(a) && v != null => Some(Seq((None, Some(s(v)))))
-      case LessThanOrEqual(a, Literal(v, _)) if doc(a) && v != null => Some(Seq((None, Some(s(v)))))
-      case GreaterThan(Literal(v, _), a) if doc(a) && v != null => Some(Seq((None, Some(s(v)))))
-      case GreaterThanOrEqual(Literal(v, _), a) if doc(a) && v != null => Some(Seq((None, Some(s(v)))))
-      case LessThan(Literal(v, _), a) if doc(a) && v != null => Some(Seq((Some(s(v)), None)))
-      case LessThanOrEqual(Literal(v, _), a) if doc(a) && v != null => Some(Seq((Some(s(v)), None)))
-      case In(a, vs) if doc(a) &&
-          vs.forall(e => e.isInstanceOf[Literal] && e.asInstanceOf[Literal].value != null) =>
-        Some(normalizeIvs(vs.map { case Literal(v, _) => (Some(s(v)), Some(s(v))): Iv }))
-      case StartsWith(a, Literal(p, _)) if doc(a) && p != null =>
-        // Byte-successor of a UTF-8 prefix is fiddly (may not decode);
-        // unbounded above is sound and still prunes everything below p.
-        Some(Seq((Some(s(p)), None)))
-      case _ => None
-    }
-  }
-
-  private val ord = graft.functions.Search.utf8Ordering
-  private def leLo(a: Option[String], b: Option[String]): Boolean = (a, b) match {
-    case (None, _) => true
-    case (_, None) => false
-    case (Some(x), Some(y)) => ord.lteq(x, y)
-  } // lower bounds: None = -inf
-  private def geHi(a: Option[String], b: Option[String]): Boolean = (a, b) match {
-    case (None, _) => true
-    case (_, None) => false
-    case (Some(x), Some(y)) => ord.gteq(x, y)
-  } // upper bounds: None = +inf
-
-  /** Sort by lower bound and merge overlapping intervals. */
-  private[maintain] def normalizeIvs(ivs: Seq[Iv]): Seq[Iv] = {
-    // Strict comparator (sortWith requires one): -inf first, then string order.
-    val sorted = ivs.sortWith((a, b) => (a._1, b._1) match {
-      case (None, None) => false
-      case (None, _) => true
-      case (_, None) => false
-      case (Some(x), Some(y)) => ord.lt(x, y)
-    })
-    val out = scala.collection.mutable.ArrayBuffer.empty[Iv]
-    sorted.foreach { iv =>
-      out.lastOption match {
-        // Overlap iff next.lo <= cur.hi (inclusive string intervals).
-        case Some((lo, hi)) if hi.isEmpty || iv._1.isEmpty ||
-            ord.lteq(iv._1.get, hi.get) =>
-          out(out.length - 1) = (lo, if (geHi(hi, iv._2)) hi else iv._2)
-        case _ => out += iv
-      }
-    }
-    out.toSeq
-  }
-
-  /** Pairwise intersection of two normalized interval sets. */
-  private[maintain] def intersectIvs(a: Seq[Iv], b: Seq[Iv]): Seq[Iv] =
-    normalizeIvs(for {
-      (alo, ahi) <- a; (blo, bhi) <- b
-      lo = if (leLo(alo, blo)) blo else alo
-      hi = if (geHi(ahi, bhi)) bhi else ahi
-      if lo.isEmpty || hi.isEmpty || ord.lteq(lo.get, hi.get)
-    } yield (lo, hi))
-
   /** Result of row-group cold-copy planning over a copy-on-write DML
     * rewrite's grazed files (shared by DELETE and UPDATE — MERGE has its
     * own extent source). `fullyCold` files stay in the snapshot verbatim
@@ -171,30 +74,23 @@ object Delete {
   }
 
   /** Plan the row-group-level cold copy for `rw` (the partially-matching
-    * files a DML rewrite would otherwise decode in full): when the
-    * predicate's doc_id COVER is boundable, row groups whose [min,max]
-    * intersect no cover interval provably hold no matching row and carry
-    * over as a bytewise column-chunk copy; only intersecting groups
-    * decode. Cost then tracks the PREDICATE'S RANGE, not the grazed
-    * files' full size. `gMin`/`gMax` (the table's global doc_id bounds)
-    * clamp unbounded cover ends; an unboundable cover degrades to
-    * decoding everything — sound, never wrong.
+    * files a DML rewrite would otherwise decode in full): row groups
+    * whose footer stats PROVE the predicate cannot hold for any of their
+    * rows ([[ManifestFileIndex.mightMatch]] applied per group — the SAME
+    * decision procedure the file-level classification and the scan
+    * planner use, over ALL stats columns: doc_id, source, n_tok) carry
+    * over as bytewise column-chunk copies; only possibly-matching groups
+    * decode. Cost then tracks the PREDICATE'S FOOTPRINT, not the grazed
+    * files' full size. A predicate referencing no stats column cannot
+    * prune any group — skip the footer reads and decode everything
+    * grazed (sound, never wrong).
     */
   private[maintain] def planCold(table: TokenTable, cond: Expression,
-      rw: Seq[DataFile], gMin: String, gMax: String,
-      coldDir: String, hotxDir: String): ColdPlan = {
-    val cover: Option[Seq[Iv]] = docIdCover(cond)
-    val clamped: Seq[(String, String)] = cover match {
-      case Some(ivs) if gMin != null && gMax != null =>
-        ivs.map { case (lo, hi) => (lo.getOrElse(gMin), hi.getOrElse(gMax)) }
-          .filter { case (lo, hi) => ord.lteq(lo, hi) }
-      case _ => Nil
-    }
+      rw: Seq[DataFile], coldDir: String, hotxDir: String): ColdPlan = {
     val splits: Seq[graft.table.RowGroupCopy.Split] =
-      if (rw.nonEmpty && cover.isDefined && clamped.nonEmpty)
-        graft.table.RowGroupCopy.planAll(table.spark, table.location,
-          rw.map(_.path), coldDir, hotxDir,
-          clamped.map(_._1).toArray, clamped.map(_._2).toArray)
+      if (rw.nonEmpty && ManifestFileIndex.usesStatsColumns(cond))
+        graft.table.RowGroupCopy.planAllByPredicate(table.spark,
+          table.location, rw.map(_.path), coldDir, hotxDir, cond)
       else Nil
     fromSplits(splits, rw)
   }
@@ -253,16 +149,11 @@ object Delete {
     val cond: Expression = resolveCondition(table, parent, predicate)
 
     // One streamed classification pass; the driver retains only the
-    // dropped + rewritten file lists (the predicate's touch set). The
-    // table's global doc_id bounds (for clamping unbounded cover ends)
-    // fall out of the same pass.
+    // dropped + rewritten file lists (the predicate's touch set).
     var untouched = 0L
-    var gMin: String = null; var gMax: String = null
     val dropped = Seq.newBuilder[DataFile]
     val rewrite = Seq.newBuilder[DataFile]
     table.filesStream(parent).foreach { f =>
-      if (f.minDocId != null && (gMin == null || ord.lt(f.minDocId, gMin))) gMin = f.minDocId
-      if (f.maxDocId != null && (gMax == null || ord.gt(f.maxDocId, gMax))) gMax = f.maxDocId
       if (!ManifestFileIndex.mightMatch(cond, f)) untouched += 1
       else if (ManifestFileIndex.mustMatchAll(cond, f)) dropped += f
       else rewrite += f
@@ -277,7 +168,7 @@ object Delete {
     // the groups the predicate's doc_id cover can touch.
     val coldDir = s"data/$jobId-v${parent.version}-cold"
     val hotxDir = s"data/$jobId-v${parent.version}-hotx"
-    val plan = planCold(table, cond, rw, gMin, gMax, coldDir, hotxDir)
+    val plan = planCold(table, cond, rw, coldDir, hotxDir)
     import plan.{fullyCold, coldFiles, decodeRels, decodedBytes}
 
     // Every grazed file fully cold and nothing drops: provably nothing

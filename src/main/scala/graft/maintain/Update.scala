@@ -96,24 +96,21 @@ object Update {
     val cond: Expression = Delete.resolveCondition(table, parent, predicate)
 
     var untouched = 0L
-    var gMin: String = null; var gMax: String = null
-    val ord = graft.functions.Search.utf8Ordering
     val rewrite = Seq.newBuilder[DataFile]
     table.filesStream(parent).foreach { f =>
-      if (f.minDocId != null && (gMin == null || ord.lt(f.minDocId, gMin))) gMin = f.minDocId
-      if (f.maxDocId != null && (gMax == null || ord.gt(f.maxDocId, gMax))) gMax = f.maxDocId
       if (ManifestFileIndex.mightMatch(cond, f)) rewrite += f else untouched += 1
     }
     val rw = rewrite.result()
     if (rw.isEmpty) return Result(parent, 0, untouched, 0L, 0L)
 
-    // Row-group-level cold copy (same planner as DELETE): groups outside
-    // the predicate's doc_id cover hold no matching row, so their bytes
-    // carry over verbatim and only the hot slice decodes through the
-    // CASE projection. Cost tracks the UPDATED RANGE, not grazed files.
+    // Row-group-level cold copy (same planner as DELETE): groups whose
+    // footer stats rule the predicate out hold no matching row, so
+    // their bytes carry over verbatim and only the hot slice decodes
+    // through the CASE projection. Cost tracks the UPDATED FOOTPRINT,
+    // not grazed files.
     val coldDir = s"data/$jobId-v${parent.version}-cold"
     val hotxDir = s"data/$jobId-v${parent.version}-hotx"
-    val plan = Delete.planCold(table, cond, rw, gMin, gMax, coldDir, hotxDir)
+    val plan = Delete.planCold(table, cond, rw, coldDir, hotxDir)
     // Every grazed file fully cold: nothing can match — commit nothing.
     if (plan.decodeRels.isEmpty)
       return Result(parent, 0, untouched + rw.size, 0L, 0L)

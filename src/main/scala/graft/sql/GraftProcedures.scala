@@ -102,10 +102,13 @@ object GraftProcedures {
 
   private object CompactProc extends GraftProcedure(
     "compact",
-    "Bin-pack small files into ~target_bytes outputs (bytewise row-group concat)",
+    "Bin-pack small files into ~target_bytes outputs (bytewise row-group " +
+      "concat); rechunk => true re-encodes fragmented files to consolidate " +
+      "small row groups",
     Seq(in("table", StringType),
       in("target_bytes", LongType, (128L * 1024 * 1024).toString),
-      in("parallelism", IntegerType, "8")),
+      in("parallelism", IntegerType, "8"),
+      in("rechunk", BooleanType, "false")),
     StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("bins_rewritten", IntegerType, nullable = false),
@@ -115,7 +118,8 @@ object GraftProcedures {
     override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
       val t = TokenTable.open(spark, utf8(in, 0))
       val r = Compact.run(t, positive(long(in, 1), "target_bytes"), "sql-compact",
-        parallelism = positive(int(in, 2), "parallelism").toInt)
+        parallelism = positive(int(in, 2), "parallelism").toInt,
+        rechunk = bool(in, 3))
       Seq(InternalRow(r.snapshot.version, r.binsRewritten, r.filesIn, r.filesOut, r.bytesIn))
     }
   }

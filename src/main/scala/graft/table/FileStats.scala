@@ -122,7 +122,8 @@ object FileStats {
         minDocId = minDoc, maxDocId = maxDoc,
         minNtok = minN, maxNtok = maxN,
         sumNtok = sumNtok,
-        minSource = minSrc, maxSource = maxSrc))
+        minSource = minSrc, maxSource = maxSrc,
+        groups = blocks.size))
     } finally reader.close()
   }
 

@@ -25,6 +25,10 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 /** Per-data-file manifest row with min/max column stats (north-star M3).
   * Paths are relative to the table root so tables are relocatable.
+  * `groups` is the file's parquet row-group count (0 = unknown, for
+  * manifests written before the field existed): compaction uses it to
+  * decide CONCAT (cheap, preserves groups) vs RE-ENCODE (consolidates
+  * fragmented groups) per bin without opening footers at plan time.
   */
 case class DataFile(
     path: String,
@@ -36,7 +40,15 @@ case class DataFile(
     maxNtok: Int,
     sumNtok: Long,
     minSource: String,
-    maxSource: String)
+    maxSource: String,
+    groups: Int = 0) {
+  /** Average row-group size; unknown group counts assume one group per
+    * file (the common shape of small ingest files — and the
+    * conservative direction: overestimating group size keeps the cheap
+    * concat path, i.e. round-4 behavior).
+    */
+  def avgGroupBytes: Long = bytes / math.max(1, groups)
+}
 
 /** A snapshot: the complete table state at a version. File inventory
   * lives in immutable manifest Parquet files (readable as a DataFrame —

@@ -90,6 +90,17 @@ class ManifestFileIndex(
   */
 object ManifestFileIndex {
 
+  /** Columns whose min/max the manifest (and every parquet row-group
+    * footer) carries. A predicate referencing none of them cannot prune
+    * anything at either granularity — callers skip stats work entirely.
+    */
+  val StatsColumns: Set[String] = Set("doc_id", "source", "n_tok")
+
+  def usesStatsColumns(e: Expression): Boolean =
+    e.collectFirst {
+      case a: AttributeReference if StatsColumns.contains(a.name) => ()
+    }.isDefined
+
   // ------------------------------------------------- predicate pruning
 
   /** True iff the file's [min,max] stats CANNOT rule out the predicate.

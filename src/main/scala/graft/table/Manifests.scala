@@ -43,6 +43,7 @@ object Manifests {
       |  required int64 sumNtok;
       |  optional binary minSource (STRING);
       |  optional binary maxSource (STRING);
+      |  optional int32 groups;
       |}""".stripMargin)
 
   /** Write `rows` as one parquet file under `absDir` (created).
@@ -77,6 +78,7 @@ object Manifests {
       g.append("sumNtok", f.sumNtok)
       if (f.minSource != null) g.append("minSource", f.minSource)
       if (f.maxSource != null) g.append("maxSource", f.maxSource)
+      g.append("groups", f.groups)
       writer.write(g)
     } finally writer.close()
   }
@@ -153,7 +155,13 @@ object Manifests {
           minNtok = g.getInteger("minNtok", 0),
           maxNtok = g.getInteger("maxNtok", 0),
           sumNtok = g.getLong("sumNtok", 0),
-          minSource = optStr("minSource"), maxSource = optStr("maxSource"))
+          minSource = optStr("minSource"), maxSource = optStr("maxSource"),
+          // Absent in pre-field manifests: 0 = unknown.
+          groups =
+            if (g.getType.containsField("groups") &&
+                g.getFieldRepetitionCount("groups") > 0)
+              g.getInteger("groups", 0)
+            else 0)
       }
 
       override def close(): Unit = {

@@ -67,10 +67,10 @@ object RowGroupCopy {
       extLo: Array[UTF8String], extHi: Array[UTF8String]): Boolean =
     graft.maintain.Merge.intersectsExtents(lo, hi, extLo, extHi)
 
-  private def docIdBounds(b: BlockMetaData): (String, String) = {
+  private def colStrBounds(b: BlockMetaData, name: String): (String, String) = {
     var lo: String = null; var hi: String = null
     b.getColumns.forEach { c =>
-      if (c.getPath.toDotString == "doc_id") {
+      if (c.getPath.toDotString == name) {
         val st = c.getStatistics
         if (st != null && st.hasNonNullValue) {
           lo = st.genericGetMin match {
@@ -87,15 +87,70 @@ object RowGroupCopy {
     (lo, hi)
   }
 
-  /** Classify one file's row groups and bytewise-copy each class into
-    * `coldDirRel` / `hotxDirRel` (both table-relative). OVERWRITE
-    * semantics on the outputs (deterministic names derived from the
-    * original path) keep a crash-rerun at the same version idempotent.
+  private def docIdBounds(b: BlockMetaData): (String, String) =
+    colStrBounds(b, "doc_id")
+
+  /** Manifest-row VIEW of one row group's footer stats (doc_id / source
+    * min-max, n_tok min-max with the no-stats sentinel), so group-level
+    * hot/cold classification reuses the SAME decision procedure the
+    * file-level prune uses — [[ManifestFileIndex.mightMatch]] — for the
+    * FULL predicate, not just its doc_id terms (VERDICT r4 task 5: a
+    * `source = 'bad-crawl'` boundary file used to decode whole even
+    * though its footers carry source bounds). Missing column stats
+    * degrade to the conservative "might match" exactly as at file level.
+    */
+  private[table] def blockStats(b: BlockMetaData): DataFile = {
+    val (dlo, dhi) = colStrBounds(b, "doc_id")
+    val (slo, shi) = colStrBounds(b, "source")
+    var nlo = Int.MaxValue; var nhi = Int.MinValue // sentinel = no stats
+    b.getColumns.forEach { c =>
+      if (c.getPath.toDotString == "n_tok") {
+        val st = c.getStatistics
+        if (st != null && st.hasNonNullValue) {
+          nlo = st.genericGetMin.asInstanceOf[Number].intValue
+          nhi = st.genericGetMax.asInstanceOf[Number].intValue
+        }
+      }
+    }
+    DataFile(path = "", bytes = b.getCompressedSize, rows = b.getRowCount,
+      minDocId = dlo, maxDocId = dhi, minNtok = nlo, maxNtok = nhi,
+      sumNtok = 0L, minSource = slo, maxSource = shi, groups = 1)
+  }
+
+  /** Classify one file's row groups against the source-key EXTENTS
+    * (MERGE's shape) and split. See [[splitByFlags]].
     */
   def splitFile(relPath: String, location: String, rootUriPath: String,
       coldDirRel: String, hotxDirRel: String,
       extLo: Array[String], extHi: Array[String],
       conf: Configuration): Split = {
+    val loU8 = extLo.map(UTF8String.fromString)
+    val hiU8 = extHi.map(UTF8String.fromString)
+    splitByFlags(relPath, location, rootUriPath, coldDirRel, hotxDirRel,
+      conf, b => { val (lo, hi) = docIdBounds(b); blockHot(lo, hi, loU8, hiU8) })
+  }
+
+  /** Classify one file's row groups against a full DML PREDICATE
+    * (DELETE/UPDATE's shape): a group is cold iff its footer stats
+    * PROVE no row can satisfy the predicate — the same `mightMatch`
+    * the scan planner prunes files with, applied per group.
+    */
+  def splitFileByPredicate(relPath: String, location: String,
+      rootUriPath: String, coldDirRel: String, hotxDirRel: String,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      conf: Configuration): Split =
+    splitByFlags(relPath, location, rootUriPath, coldDirRel, hotxDirRel,
+      conf, b => ManifestFileIndex.mightMatch(cond, blockStats(b)))
+
+  /** Classify one file's row groups with `isHot` and bytewise-copy each
+    * class into `coldDirRel` / `hotxDirRel` (both table-relative).
+    * OVERWRITE semantics on the outputs (deterministic names derived
+    * from the original path) keep a crash-rerun at the same version
+    * idempotent.
+    */
+  private def splitByFlags(relPath: String, location: String,
+      rootUriPath: String, coldDirRel: String, hotxDirRel: String,
+      conf: Configuration, isHot: BlockMetaData => Boolean): Split = {
     val inPath = new org.apache.hadoop.fs.Path(s"$location/$relPath")
     val inputFile = HadoopInputFile.fromPath(inPath, conf)
     val reader = ParquetFileReader.open(inputFile)
@@ -105,11 +160,7 @@ object RowGroupCopy {
         (md.getSchema, md.getKeyValueMetaData, reader.getFooter.getBlocks.asScala.toSeq)
       } finally reader.close()
 
-    val loU8 = extLo.map(UTF8String.fromString)
-    val hiU8 = extHi.map(UTF8String.fromString)
-    val flags: Seq[Boolean] = blocks.map { b =>
-      val (lo, hi) = docIdBounds(b); blockHot(lo, hi, loU8, hiU8)
-    }
+    val flags: Seq[Boolean] = blocks.map(isHot)
     if (!flags.contains(true))
       return Split(relPath, allCold = true, None, 0L, Nil)
     if (!flags.contains(false))
@@ -219,7 +270,10 @@ object RowGroupCopy {
         maxNtok = inputs.map(_.maxNtok).max,
         sumNtok = inputs.map(_.sumNtok).sum,
         minSource = inputs.map(_.minSource).min(ord),
-        maxSource = inputs.map(_.maxSource).max(ord))
+        maxSource = inputs.map(_.maxSource).max(ord),
+        // Exact even when the inputs' manifest counts are unknown: the
+        // concat read every footer anyway.
+        groups = footers.map(_._3.size).sum)
     else {
       val root = new org.apache.hadoop.fs.Path(location).toUri.getPath
       FileStats.statsForFile(outPath.toUri.getPath, root, conf)
@@ -227,13 +281,34 @@ object RowGroupCopy {
     }
   }
 
-  /** Split every touched file. Dispatch mirrors [[TokenTable.statsFor]]:
-    * small sets on a driver pool (no job-scheduling floor per merge),
-    * big sets as a Spark job over the path list.
+  /** Split every touched file against source-key extents (MERGE /
+    * deleteByDocIds). Dispatch mirrors [[TokenTable.statsFor]]: small
+    * sets on a driver pool (no job-scheduling floor per merge), big
+    * sets as a Spark job over the path list.
     */
   def planAll(spark: SparkSession, location: String, relPaths: Seq[String],
       coldDirRel: String, hotxDirRel: String,
-      extLo: Array[String], extHi: Array[String]): Seq[Split] = {
+      extLo: Array[String], extHi: Array[String]): Seq[Split] =
+    dispatch(spark, location, relPaths) { (p, rootUriPath, c) =>
+      splitFile(p, location, rootUriPath, coldDirRel, hotxDirRel,
+        extLo, extHi, c)
+    }
+
+  /** Split every touched file against a full DML predicate (DELETE /
+    * UPDATE). The Catalyst expression ships into the distributed path's
+    * closure — expressions are serializable trees.
+    */
+  def planAllByPredicate(spark: SparkSession, location: String,
+      relPaths: Seq[String], coldDirRel: String, hotxDirRel: String,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Split] =
+    dispatch(spark, location, relPaths) { (p, rootUriPath, c) =>
+      splitFileByPredicate(p, location, rootUriPath, coldDirRel,
+        hotxDirRel, cond, c)
+    }
+
+  private def dispatch(spark: SparkSession, location: String,
+      relPaths: Seq[String])(
+      split: (String, String, Configuration) => Split): Seq[Split] = {
     if (relPaths.isEmpty) return Nil
     val conf = spark.sessionState.newHadoopConf()
     val rootUriPath = new org.apache.hadoop.fs.Path(location).toUri.getPath
@@ -243,9 +318,7 @@ object RowGroupCopy {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
       val fs = relPaths.map { p =>
-        scala.concurrent.Future(
-          splitFile(p, location, rootUriPath, coldDirRel, hotxDirRel,
-            extLo, extHi, conf))
+        scala.concurrent.Future(split(p, rootUriPath, conf))
       }
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(fs),
@@ -265,8 +338,7 @@ object RowGroupCopy {
         .mapPartitions { it =>
           val c = new Configuration(false)
           confEntries.foreach { case (k, v) => c.set(k, v) }
-          it.map(p => splitFile(p, location, rootUriPath, coldDirRel,
-            hotxDirRel, extLo, extHi, c))
+          it.map(p => split(p, rootUriPath, c))
         }
         .collect().toSeq
     }

@@ -100,6 +100,36 @@ class DeleteSpec extends SparkSpec {
     assert(t.scan().count() == 799)
   }
 
+  test("delete: source-only predicate cold-copies row groups on a zordered table") {
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("graft.write.rowGroupBytes", (32 * 1024).toString)
+    try {
+      val dir = tmpDir("del_src_rg")
+      val t = graft.table.TokenTable.create(spark, dir)
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 6000, minLen = 32, maxLen = 64, numPartitions = 2)))
+      // Z-order leads with the source dimension: one big output file
+      // whose row groups are source-runs — exactly the layout where a
+      // source-only DELETE's footprint is a narrow group range, which
+      // the doc_id-only cover of round 4 could not see (VERDICT r4
+      // task 5: the boundary file decoded in FULL).
+      Cluster.run(t, Cluster.ZOrder, "delsrc-cluster", targetBytes = 1L << 30)
+      val expect = t.scan().where(col("source") === "wiki").count()
+      assert(expect > 0)
+      val outside = checksum(t.scan().where(col("source") =!= "wiki"))
+
+      val res = Delete.deleteWhere(t, col("source") === "wiki", "delsrc-job")
+      assert(res.deletedRows == expect)
+      assert(res.coldCopiedBytes > 0, s"cold groups must byte-copy: $res")
+      assert(res.decodedBytes < res.rewrittenBytes / 2,
+        s"source predicate must decode only its group range: " +
+          s"${res.decodedBytes} of ${res.rewrittenBytes}")
+      assert(t.scan().where(col("source") === "wiki").count() == 0)
+      assert(checksum(t.scan()) == outside,
+        "survivors must be byte-identical after the group-level rewrite")
+    } finally spark.conf.unset("graft.write.rowGroupBytes")
+  }
+
   test("delete: unconditional TRUE predicate drops every file metadata-only") {
     val t = clustered("delall", rows = 800)
     val res = Delete.deleteWhere(t, lit(true), "delall-job")
@@ -199,28 +229,28 @@ class DeleteSpec extends SparkSpec {
     } finally spark.conf.unset("graft.write.rowGroupBytes")
   }
 
-  test("docIdCover: predicate shapes bound, widen, and compose soundly") {
-    def cover(sql: String) = Delete.docIdCover(cond(sql))
-    // Range conjunction intersects to one interval (< keeps the literal
-    // as an inclusive hi — an over-approximation, which is the sound side).
-    assert(cover("doc_id >= 'b' AND doc_id < 'd'") ==
-      Some(Seq((Some("b"), Some("d")))))
-    // Disjoint points normalize sorted; adjacent/overlapping merge.
-    assert(cover("doc_id = 'z' OR doc_id = 'a'") ==
-      Some(Seq((Some("a"), Some("a")), (Some("z"), Some("z")))))
-    assert(cover("doc_id IN ('c', 'a', 'b')") ==
-      Some(Seq((Some("a"), Some("a")), (Some("b"), Some("b")),
-        (Some("c"), Some("c")))))
-    assert(cover("(doc_id >= 'a' AND doc_id <= 'm') OR (doc_id >= 'g')") ==
-      Some(Seq((Some("a"), None))))
-    // AND with an unboundable side keeps the boundable side.
-    assert(cover("doc_id <= 'k' AND n_tok > 5") == Some(Seq((None, Some("k")))))
-    // OR with an unboundable side cannot bound (sound: full decode).
-    assert(cover("doc_id <= 'k' OR n_tok > 5").isEmpty)
-    // LIKE prefix: bounded below, open above.
-    assert(cover("doc_id LIKE 'ab%'") == Some(Seq((Some("ab"), None))))
-    // Contradictory ranges intersect to the empty cover.
-    assert(cover("doc_id < 'a' AND doc_id > 'z'") == Some(Nil))
+  test("group-level cover: full predicate over doc_id/source/n_tok stats") {
+    // The group-level hot/cold decision is mightMatch over a footer-
+    // shaped stats row — verify its composition over ALL stats columns
+    // (the old doc_id-only interval cover missed source/n_tok terms).
+    def hot(sql: String, g: DataFile): Boolean =
+      ManifestFileIndex.mightMatch(cond(sql), g)
+    val g = df("b", "d", minN = 10, maxN = 20, minS = "src2", maxS = "src4")
+    assert(hot("doc_id >= 'c' AND doc_id < 'z'", g))
+    assert(!hot("doc_id > 'd'", g))
+    assert(!hot("source = 'src9'", g), "source term alone must prune")
+    assert(hot("source = 'src3'", g))
+    assert(!hot("n_tok > 25", g), "n_tok term alone must prune")
+    assert(!hot("source = 'src3' AND n_tok > 25", g), "AND composes prunes")
+    assert(hot("source = 'src9' OR n_tok <= 20", g), "OR keeps if either side can")
+    assert(!hot("source = 'src9' OR n_tok > 25", g), "OR prunes only if both sides do")
+    assert(hot("doc_id LIKE 'b%'", g))
+    assert(!hot("doc_id LIKE 'z%'", g))
+    // No usable stats shape: conservative hot; and the fast-path gate
+    // reports no stats column is referenced at all.
+    assert(hot("size(tokens) > 3", g))
+    assert(!ManifestFileIndex.usesStatsColumns(cond("size(tokens) > 3")))
+    assert(ManifestFileIndex.usesStatsColumns(cond("size(tokens) > 3 AND source = 'x'")))
   }
 
   // ------------------------- mustMatchAll soundness edges
