@@ -293,6 +293,33 @@ object Queries {
     scanProjection(t.scan())
   }
 
+  /** M5/M8 ROLLBACK — the operator's undo after a bad DML: a native SQL
+    * DELETE removes a slice, `CALL graft.system.rollback` restores the
+    * pre-delete version as a NEW head snapshot, and the scan must read
+    * the FULL base tokenization again (oracle: [[tokenizedDocsSql]]).
+    * The deleted state stays time-travelable at its own version.
+    */
+  def m5RollbackScan(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    val t = buildTable(spark, dir, "m5rb", commits = 4)
+    val v0 = t.currentVersion
+    val parsed = spark.sessionState.sqlParser.parsePlan(
+      s"DELETE FROM graft.`${t.location}` WHERE n_tok > 50")
+    val row = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(spark, plans.TokenTableResolution(spark)(parsed)).collect()(0)
+    require(row.getLong(1) > 0, "rollback fixture DELETE must remove rows")
+    val vDel = t.currentVersion
+    require(vDel == v0 + 1, s"DELETE must commit one snapshot, at v$vDel")
+    val r = spark.sql(
+      s"CALL graft.system.rollback(table => '${t.location}', version => $v0)").head()
+    require(r.getLong(0) == vDel + 1 && r.getLong(1) == v0,
+      s"rollback must commit a new head referencing v$v0, got $r")
+    // Bad state remains reachable at its version; head is restored.
+    require(t.scan(t.snapshotAt(vDel)).count() < t.scan().count(),
+      "the deleted state must stay time-travelable after rollback")
+    scanProjection(t.scan())
+  }
+
   /** M9 predicate UPDATE via NATIVE SQL TEXT: retag one source's docs
     * and truncate their token arrays — the "re-label and redact a bad
     * crawl slice" shape. The n_tok term in the WHERE exercises stats

@@ -30,6 +30,7 @@ object SparkEntry {
     "m9_update_sql_scan" -> ((s, d) => Queries.m9UpdateSqlScan(s, d)),
     "m4_expire_scan" -> ((s, d) => Queries.m4ExpireScan(s, d)),
     "m5_timetravel_scan" -> ((s, d) => Queries.m5TimeTravelScan(s, d)),
+    "m5_rollback_scan" -> ((s, d) => Queries.m5RollbackScan(s, d)),
     "m2_docid_cluster_scan" -> ((s, d) => Queries.m2DocIdClusterScan(s, d)),
     "m7_lineage_metrics" -> ((s, d) => Queries.m7LineageMetrics(s, d)),
     // Reference-pipeline operators (SURVEY.md §2)
@@ -89,6 +90,8 @@ object SparkEntry {
     "m9_update_sql_scan" -> Queries.m9UpdateSql,
     "m4_expire_scan" -> Queries.tokenizedDocsSql,
     "m5_timetravel_scan" -> Queries.tokenizedDocsSql,
+    "m5_rollback_scan" -> Queries.tokenizedDocsSql, // rollback restores the base state
+
     "m2_docid_cluster_scan" -> Queries.tokenizedDocsSql,
     "m7_lineage_metrics" -> Queries.m7Sql,
     "d1_dedup_firstwins" -> Queries.d1Sql,

@@ -47,7 +47,8 @@ object GraftProcedures {
   }
 
   private lazy val all: Map[String, GraftProcedure] = Seq(
-    CompactProc, ClusterProc, ExpireProc, SnapshotsProc, FilesProc)
+    CompactProc, ClusterProc, ExpireProc, SnapshotsProc, FilesProc,
+    RollbackProc)
     .map(p => p.name -> p).toMap
 
   private def in(name: String, dt: DataType): ProcedureParameter =
@@ -196,6 +197,22 @@ object GraftProcedures {
           UTF8String.fromString(f.minDocId), UTF8String.fromString(f.maxDocId),
           f.minNtok, f.maxNtok, f.sumNtok)
       }.toSeq
+    }
+  }
+
+  private object RollbackProc extends GraftProcedure(
+    "rollback",
+    "Roll the table back to an ancestor version: commits a new snapshot " +
+      "referencing that version's files (history stays time-travelable)",
+    Seq(in("table", StringType), in("version", LongType)),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("rolled_back_to", LongType, nullable = false)))) {
+    override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
+      val t = TokenTable.open(spark, utf8(in, 0))
+      val v = long(in, 1)
+      val snap = t.rollbackTo(v)
+      Seq(InternalRow(snap.version, v))
     }
   }
 

@@ -381,6 +381,31 @@ class TokenTable(val location: String, val spark: SparkSession) {
       removedPaths, summary, maxAttempts - 1, rebaseGuard)
   }
 
+  /** Roll the table back to an ANCESTOR version — the operator's undo
+    * after a bad DML (north-star M5's operational story): commits a NEW
+    * snapshot whose file inventory is the target version's, without
+    * rewriting history, so every intermediate version stays
+    * time-travelable and expiry still governs retention. Offset
+    * watermarks are NOT rolled back — commit() max-merges them from the
+    * current head — so exactly-once ingest never re-ingests batches
+    * committed after the target: rollback undoes table CONTENT, not
+    * stream progress. Rolling back to the current version is a no-op
+    * (nothing commits). A concurrent commit aborts the CAS (rewrite
+    * semantics), since rolling back over an unseen change would
+    * silently discard it.
+    */
+  def rollbackTo(version: Long): Snapshot = {
+    val parent = current
+    if (version == parent.version) return parent
+    require(version >= 0 && version < parent.version,
+      s"rollback target v$version is not an ancestor of v${parent.version}")
+    val target = snapshotAt(version) // missing/expired target fails loudly
+    commit(Some(parent), "rollback",
+      addManifests = target.manifests, keepManifests = Nil,
+      removedPaths = Set.empty,
+      summary = Map("rollback-to" -> version.toString))
+  }
+
   /** Append rows (token schema) as one atomic snapshot. */
   def append(df: DataFrame, operation: String = "append"): Snapshot = {
     val added = writeDataFiles(df)
