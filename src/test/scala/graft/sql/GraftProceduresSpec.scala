@@ -49,6 +49,49 @@ class GraftProceduresSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.compact(rechunk => true) consolidates fragmented groups") {
+    withCatalog {
+      val loc = tmpDir("proc_rechunk")
+      val t = TokenTable.create(spark, loc)
+      spark.conf.set("graft.write.rowGroupBytes", (48 * 1024).toString)
+      try {
+        t.append(TokenGen.asTokenRows(TokenGen.generate(
+          spark, 8000, minLen = 64, maxLen = 128, numPartitions = 1)))
+      } finally spark.conf.unset("graft.write.rowGroupBytes")
+      val f0 = t.filesLocal(t.current).head
+      assert(f0.groups > 10, s"fixture must be fragmented: ${f0.groups}")
+      val before = checksum(t.scan())
+      val target = math.max(1L << 20, f0.bytes / 2) // file too big for default candidacy
+      val row = spark.sql(
+        s"CALL graft.system.compact(table => '$loc', target_bytes => $target, " +
+          "parallelism => 2, rechunk => true)").head()
+      assert(row.getAs[Int]("bins_rewritten") == 1)
+      val after = TokenTable.open(spark, loc)
+      assert(after.filesLocal(after.current).forall(_.groups <= 2),
+        "rechunk must consolidate row groups")
+      assert(checksum(after.scan()) == before)
+    }
+  }
+
+  test("CALL system.rollback restores an ancestor; bad version fails loudly") {
+    withCatalog {
+      val loc = seeded("proc_rollback")
+      val t = TokenTable.open(spark, loc)
+      val v0 = t.currentVersion
+      val keep = checksum(t.scan())
+      graft.maintain.Delete.deleteWhere(t,
+        org.apache.spark.sql.functions.col("n_tok") > 50, "procrb-del")
+      val row = spark.sql(
+        s"CALL graft.system.rollback(table => '$loc', version => $v0)").head()
+      assert(row.getAs[Long]("rolled_back_to") == v0)
+      assert(row.getAs[Long]("version") == v0 + 2)
+      assert(checksum(TokenTable.open(spark, loc).scan()) == keep)
+      intercept[Exception] {
+        spark.sql(s"CALL graft.system.rollback(table => '$loc', version => 99)").collect()
+      }
+    }
+  }
+
   test("CALL system.cluster with each curve; bad curve fails loudly") {
     withCatalog {
       val loc = seeded("proc_cluster")
