@@ -382,12 +382,20 @@ object Bench {
         s""""bench_rows":$benchRows,"reps":$reps,""" +
         s""""pairs":[${pairJsons.mkString(",")}],""" +
         s""""eff_pair_ratio_median":$effMedians}"""
+    // stdout FIRST: an unwritable artifact path must never discard a
+    // multi-hour campaign's measurements.
+    println(json)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS_OUT",
       s"bench/bench_${benchRows / 1000000}m_pairs_w${w1}_w$w2.json")
-    val p = java.nio.file.Paths.get(outPath)
-    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.writeString(p, json + "\n")
-    println(json)
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, json + "\n")
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage} " +
+          "(the JSON line above is the artifact)")
+    }
   }
 
   def wipeDir(dir: String): Unit = wipe(dir)

@@ -81,8 +81,17 @@ object Compact {
     val threshold = (targetBytes * smallFileFactor).toLong
     def fragmented(f: DataFile): Boolean =
       f.groups > 1 && f.avgGroupBytes < fragGroupBytes
+    // Rechunk's cap retention priority is EXCESS GROUPS (how many row
+    // groups a re-encode would eliminate), not smallest-bytes: under cap
+    // pressure the small-file priority would evict exactly the large
+    // fragmented files this mode exists for. Small files score ~0 excess
+    // and drop first — they are the DEFAULT mode's work on the next run.
+    def excessGroups(f: DataFile): Long =
+      math.max(1, f.groups).toLong -
+        (f.bytes + graft.table.TokenTable.RowGroupBytes - 1) /
+          graft.table.TokenTable.RowGroupBytes
     val heap = scala.collection.mutable.PriorityQueue.empty[DataFile](
-      Ordering.by((f: DataFile) => (f.bytes, f.path)))
+      Ordering.by((f: DataFile) => (-excessGroups(f), f.path)))
     var total = 0L
     files.foreach { f =>
       total += 1
@@ -184,7 +193,13 @@ object Compact {
     // both survivors and new files = duplicated rows; reusing its output
     // dir would overwrite files the current snapshot references). A
     // crash BEFORE the commit re-runs at the same version and resumes.
-    val execId = s"$jobId-v${parent.version}"
+    // Mode-scoped execution id: resume must never hand a rechunk
+    // invocation a crashed DEFAULT run's persisted plan (planOrResume
+    // keys on execId alone) — the rechunk candidate set would be
+    // silently discarded and the procedure would "succeed" having
+    // planned nothing it was invoked for. Same jobId+version+mode still
+    // resumes normally.
+    val execId = s"$jobId-v${parent.version}" + (if (rechunk) "-rechunk" else "")
     // Streamed, bounded-memory planning: the driver never materializes
     // the full inventory (VERDICT r3 task 4) — only the capped candidate
     // set survives the pass.

@@ -81,14 +81,15 @@ object Delete {
     * planner use, over ALL stats columns: doc_id, source, n_tok) carry
     * over as bytewise column-chunk copies; only possibly-matching groups
     * decode. Cost then tracks the PREDICATE'S FOOTPRINT, not the grazed
-    * files' full size. A predicate referencing no stats column cannot
-    * prune any group — skip the footer reads and decode everything
-    * grazed (sound, never wrong).
+    * files' full size. A predicate that can never prune a group
+    * ([[ManifestFileIndex.canPrune]] false — no stats-column term, or
+    * every OR arm not prunable) skips the footer reads and decodes
+    * everything grazed (sound, never wrong).
     */
   private[maintain] def planCold(table: TokenTable, cond: Expression,
       rw: Seq[DataFile], coldDir: String, hotxDir: String): ColdPlan = {
     val splits: Seq[graft.table.RowGroupCopy.Split] =
-      if (rw.nonEmpty && ManifestFileIndex.usesStatsColumns(cond))
+      if (rw.nonEmpty && ManifestFileIndex.canPrune(cond))
         graft.table.RowGroupCopy.planAllByPredicate(table.spark,
           table.location, rw.map(_.path), coldDir, hotxDir, cond)
       else Nil

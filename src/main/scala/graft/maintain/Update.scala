@@ -80,10 +80,17 @@ object Update {
         val dst = table.schema(name).dataType
         if (src == dst) name -> v
         else {
-          require(org.apache.spark.sql.catalyst.expressions.Cast.canAnsiCast(src, dst),
+          import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+          require(Cast.canAnsiCast(src, dst),
             s"UPDATE cannot assign ${src.simpleString} to `$name` " +
               s"(${dst.simpleString}): no ANSI cast exists")
-          name -> v.cast(dst)
+          // Explicit ANSI eval mode, independent of the session's
+          // spark.sql.ansi.enabled: a legacy-mode cast silently
+          // wraps/nulls out-of-range values, which is exactly the
+          // silent-corruption class this alignment exists to prevent.
+          name -> org.apache.spark.sql.GraftSqlBridge.column(
+            Cast(org.apache.spark.sql.GraftSqlBridge.expression(v),
+              dst, None, EvalMode.ANSI))
         }
       }
     val effective: Seq[(String, Column)] =

@@ -91,15 +91,42 @@ class ManifestFileIndex(
 object ManifestFileIndex {
 
   /** Columns whose min/max the manifest (and every parquet row-group
-    * footer) carries. A predicate referencing none of them cannot prune
-    * anything at either granularity — callers skip stats work entirely.
-    */
+    * footer) carries. */
   val StatsColumns: Set[String] = Set("doc_id", "source", "n_tok")
 
-  def usesStatsColumns(e: Expression): Boolean =
-    e.collectFirst {
-      case a: AttributeReference if StatsColumns.contains(a.name) => ()
-    }.isDefined
+  private def statsAttr(e: Expression): Boolean = e match {
+    case a: AttributeReference => StatsColumns.contains(a.name)
+    case _ => false
+  }
+
+  /** Could [[mightMatch]] return false for ANY stats row — i.e. is the
+    * predicate worth evaluating against min/max stats at all? Mirrors
+    * mightMatch's case analysis: And prunes if EITHER side can; Or only
+    * if BOTH can (mightMatch(Or) keeps the file unless both sides
+    * prune, so `doc_id < x OR size(tokens) > 9` can never prune and the
+    * footer reads are pure waste). Callers skip group-level
+    * classification entirely when this is false. Optimistic on typed
+    * edge shapes (costs at most a useless footer read — sound).
+    */
+  def canPrune(e: Expression): Boolean = e match {
+    case Literal(b: Boolean, _) => !b // folded FALSE prunes everything
+    case Literal(null, _) => true
+    case And(l, r) => canPrune(l) || canPrune(r)
+    case Or(l, r) => canPrune(l) && canPrune(r)
+    case EqualTo(a, Literal(_, _)) => statsAttr(a)
+    case EqualTo(Literal(_, _), a) => statsAttr(a)
+    case GreaterThan(a, Literal(_, _)) => statsAttr(a)
+    case GreaterThan(Literal(_, _), a) => statsAttr(a)
+    case GreaterThanOrEqual(a, Literal(_, _)) => statsAttr(a)
+    case GreaterThanOrEqual(Literal(_, _), a) => statsAttr(a)
+    case LessThan(a, Literal(_, _)) => statsAttr(a)
+    case LessThan(Literal(_, _), a) => statsAttr(a)
+    case LessThanOrEqual(a, Literal(_, _)) => statsAttr(a)
+    case LessThanOrEqual(Literal(_, _), a) => statsAttr(a)
+    case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) => statsAttr(a)
+    case StartsWith(a, Literal(_, _)) => statsAttr(a)
+    case _ => false
+  }
 
   // ------------------------------------------------- predicate pruning
 

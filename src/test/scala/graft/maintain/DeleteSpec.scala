@@ -246,11 +246,15 @@ class DeleteSpec extends SparkSpec {
     assert(!hot("source = 'src9' OR n_tok > 25", g), "OR prunes only if both sides do")
     assert(hot("doc_id LIKE 'b%'", g))
     assert(!hot("doc_id LIKE 'z%'", g))
-    // No usable stats shape: conservative hot; and the fast-path gate
-    // reports no stats column is referenced at all.
+    // No usable stats shape: conservative hot; and the canPrune gate
+    // skips footer reads exactly when no group could ever classify cold
+    // (Or needs BOTH arms prunable; And either).
     assert(hot("size(tokens) > 3", g))
-    assert(!ManifestFileIndex.usesStatsColumns(cond("size(tokens) > 3")))
-    assert(ManifestFileIndex.usesStatsColumns(cond("size(tokens) > 3 AND source = 'x'")))
+    assert(!ManifestFileIndex.canPrune(cond("size(tokens) > 3")))
+    assert(ManifestFileIndex.canPrune(cond("size(tokens) > 3 AND source = 'x'")))
+    assert(!ManifestFileIndex.canPrune(cond("size(tokens) > 3 OR source = 'x'")),
+      "an OR with a non-prunable arm can never prune — footer reads are waste")
+    assert(ManifestFileIndex.canPrune(cond("n_tok > 5 OR source = 'x'")))
   }
 
   // ------------------------- mustMatchAll soundness edges
