@@ -320,6 +320,74 @@ object Queries {
     scanProjection(t.scan())
   }
 
+  /** M5 INCREMENTAL (CDC-style) read: three appends split by doc_id
+    * mod 3, then `scanChanges(head-2, head)` — the rows of the LAST TWO
+    * commits only, planned purely from the manifest-list delta (zero
+    * data IO to plan; the read goes through the same pruned FileIndex
+    * as any scan). Oracle: the base tokenization restricted to the same
+    * mod classes. The SQL spelling (`graft_changes_vA_vB.\`path\``) is
+    * spec-covered; the oracle checks the API row set.
+    */
+  def m5IncrementalScan(spark: SparkSession, dir: String): DataFrame = {
+    val loc = freshQueryDir("m5inc", dir)
+    val t = TokenTable.create(spark, loc)
+    val rows = tokenizedDocs(spark, dir)
+      .withColumn("__m", expr("CAST(substring(doc_id, 5) AS BIGINT) % 3"))
+    (0 until 3).foreach { c =>
+      t.append(rows.filter(col("__m") === c).drop("__m"))
+    }
+    val head = t.currentVersion
+    require(t.scanChanges(head, head).count() == 0, "empty delta must be empty")
+    scanProjection(t.scanChanges(head - 2, head))
+  }
+
+  val m5IncrementalSql: String =
+    tokenizedDocsSql + "\nWHERE doc_id % 3 <> 0"
+
+  /** M5 METADATA AGGREGATES (aggregate pushdown): unfiltered count /
+    * min / max / sum through the catalog answer from MANIFEST STATS
+    * with zero data IO — proven inside the fixture by DELETING every
+    * data file from disk before the aggregate runs (if pushdown ever
+    * regressed to a scan, this query would error, not drift). At 10^12
+    * rows this turns `SELECT count(*), sum(n_tok)` from a 100 TB scan
+    * into a metadata read. Oracle: the same aggregates over the base
+    * tokenization in DuckDB.
+    */
+  def m5AggPushdownScan(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    val t = buildTable(spark, dir, "m5agg", commits = 4)
+    // Remove the data files: only manifest stats remain.
+    import scala.jdk.CollectionConverters._
+    val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"${t.location}/data"))
+    try st.iterator().asScala.toSeq
+      .filter(p => p.toString.endsWith(".parquet"))
+      .foreach(java.nio.file.Files.delete)
+    finally st.close()
+    spark.sql(
+      s"""SELECT count(*) AS n_rows, min(doc_id) AS min_doc,
+         |       max(doc_id) AS max_doc, min(n_tok) AS min_ntok,
+         |       max(n_tok) AS max_ntok, sum(n_tok) AS tok_total,
+         |       min(source) AS min_src, max(source) AS max_src
+         |FROM graft.`${t.location}`""".stripMargin)
+      .select(col("n_rows"), col("min_doc"), col("max_doc"),
+        col("min_ntok").cast("long").as("min_ntok"),
+        col("max_ntok").cast("long").as("max_ntok"),
+        col("tok_total"), col("min_src"), col("max_src"))
+  }
+
+  val m5AggPushdownSql: String =
+    """WITH toks AS (
+      |  SELECT printf('doc_%012d', doc_id) AS doc_id,
+      |         len(regexp_extract_all(text, '\S+')) AS nt, source
+      |  FROM documents)
+      |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |       min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |       CAST(min(nt) AS BIGINT) AS min_ntok,
+      |       CAST(max(nt) AS BIGINT) AS max_ntok,
+      |       CAST(sum(nt) AS BIGINT) AS tok_total,
+      |       min(source) AS min_src, max(source) AS max_src
+      |FROM toks""".stripMargin
+
   /** M9 predicate UPDATE via NATIVE SQL TEXT: retag one source's docs
     * and truncate their token arrays — the "re-label and redact a bad
     * crawl slice" shape. The n_tok term in the WHERE exercises stats

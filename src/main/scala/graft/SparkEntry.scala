@@ -31,6 +31,8 @@ object SparkEntry {
     "m4_expire_scan" -> ((s, d) => Queries.m4ExpireScan(s, d)),
     "m5_timetravel_scan" -> ((s, d) => Queries.m5TimeTravelScan(s, d)),
     "m5_rollback_scan" -> ((s, d) => Queries.m5RollbackScan(s, d)),
+    "m5_incremental_scan" -> ((s, d) => Queries.m5IncrementalScan(s, d)),
+    "m5_agg_pushdown" -> ((s, d) => Queries.m5AggPushdownScan(s, d)),
     "m2_docid_cluster_scan" -> ((s, d) => Queries.m2DocIdClusterScan(s, d)),
     "m7_lineage_metrics" -> ((s, d) => Queries.m7LineageMetrics(s, d)),
     // Reference-pipeline operators (SURVEY.md §2)
@@ -91,6 +93,8 @@ object SparkEntry {
     "m4_expire_scan" -> Queries.tokenizedDocsSql,
     "m5_timetravel_scan" -> Queries.tokenizedDocsSql,
     "m5_rollback_scan" -> Queries.tokenizedDocsSql, // rollback restores the base state
+    "m5_incremental_scan" -> Queries.m5IncrementalSql,
+    "m5_agg_pushdown" -> Queries.m5AggPushdownSql,
 
     "m2_docid_cluster_scan" -> Queries.tokenizedDocsSql,
     "m7_lineage_metrics" -> Queries.m7Sql,

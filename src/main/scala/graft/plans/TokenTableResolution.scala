@@ -24,6 +24,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   private val Versioned = "graft_v(\\d+)".r
+  private val Changes = "graft_changes_v(\\d+)_v(\\d+)".r
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsDown {
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
@@ -59,11 +60,13 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     case UnresolvedRelation(Seq(ns, path), _, _) if isGraft(ns) && TokenTable.exists(path) =>
       val t = TokenTable.open(spark, path)
-      val snap = ns match {
-        case Versioned(v) => t.snapshotAt(v.toLong)
-        case _ => t.current
+      ns match {
+        // Incremental append delta: rows added in (vA, vB].
+        case Changes(a, b) =>
+          t.scanChanges(a.toLong, b.toLong).queryExecution.analyzed
+        case Versioned(v) => t.scan(t.snapshotAt(v.toLong)).queryExecution.analyzed
+        case _ => t.scan(t.current).queryExecution.analyzed
       }
-      t.scan(snap).queryExecution.analyzed
     case u => u
   }
 
@@ -199,5 +202,6 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def isGraft(ns: String): Boolean =
-    ns == "graft" || Versioned.pattern.matcher(ns).matches()
+    ns == "graft" || Versioned.pattern.matcher(ns).matches() ||
+      Changes.pattern.matcher(ns).matches()
 }

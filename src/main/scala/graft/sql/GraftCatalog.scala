@@ -186,20 +186,39 @@ class GraftTable(val location: String, versionAsOf: Option[Long])
     */
   private[sql] def innerScan(spark: SparkSession): DataFrame =
     TokenTable.open(spark, location).scan(snapshot(spark))
+
+  /** The pinned snapshot (for metadata-only answers). */
+  private[sql] def pinnedSnapshot(spark: SparkSession): Snapshot = snapshot(spark)
 }
 
 /** Scan builder: collects column pruning + pushable filters, then falls
   * back to V1 by replaying both onto the inner DataFrame — Catalyst then
   * pushes them through to the manifest prune and the parquet reader.
+  *
+  * AGGREGATE PUSHDOWN (metadata-only answers): an UNFILTERED, ungrouped
+  * COUNT(star or col) / MIN / MAX (doc_id, source, n_tok) / SUM(n_tok)
+  * is answered entirely from MANIFEST STATS — one streamed metadata
+  * pass, ZERO data IO, exactly like Iceberg's metadata aggregates. At
+  * 10^12 rows, "SELECT count(*), sum(n_tok)" becomes a
+  * manifest read instead of a 100 TB scan. Sound because manifest
+  * row/sum counts are exact and min/max bounds are tight values the
+  * writer computed from the data (UTF8 order — Spark's comparison
+  * order); files without usable stats make the affected aggregate
+  * refuse pushdown (normal scan path, never a wrong answer). Any WHERE
+  * clause or GROUP BY falls through to the ordinary scan (this builder
+  * keeps every filter post-scan, so Spark never attempts aggregate
+  * pushdown on filtered queries).
   */
 class GraftScanBuilder(table: GraftTable) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = TokenTable.tokenSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, Row)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    if (aggResult.isEmpty) required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => GraftScanBuilder.toColumn(f).isDefined)
@@ -211,23 +230,124 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Shape-only check (no IO): every aggregate a stats-answerable
+    * function, no grouping, no pushed filters.
+    */
+  private def plannableAggs(agg: Aggregation): Boolean =
+    agg.groupByExpressions().isEmpty && pushed.isEmpty &&
+      agg.aggregateExpressions().forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && colName(c.column()).exists(
+          TokenTable.tokenSchema.fieldNames.contains) // all columns non-null
+        case m: Min => colName(m.column()).exists(Set("doc_id", "source", "n_tok"))
+        case m: Max => colName(m.column()).exists(Set("doc_id", "source", "n_tok"))
+        case s: Sum => !s.isDistinct && colName(s.column()).contains("n_tok")
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    plannableAggs(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!plannableAggs(agg)) return false
+    val spark = SparkSession.active
+    val t = TokenTable.open(spark, table.location)
+    // ONE streamed manifest pass: totals + per-column bounds validity.
+    val ord = graft.functions.Search.utf8Ordering
+    var count = 0L; var sumN = 0L
+    var minDoc: String = null; var maxDoc: String = null; var docOk = true
+    var minSrc: String = null; var maxSrc: String = null; var srcOk = true
+    var minN = Int.MaxValue; var maxN = Int.MinValue; var nOk = true
+    t.filesStream(table.pinnedSnapshot(spark)).foreach { f =>
+      count += f.rows; sumN += f.sumNtok
+      if (f.minDocId == null || f.maxDocId == null) docOk = false
+      else {
+        if (minDoc == null || ord.lt(f.minDocId, minDoc)) minDoc = f.minDocId
+        if (maxDoc == null || ord.gt(f.maxDocId, maxDoc)) maxDoc = f.maxDocId
+      }
+      if (f.minSource == null || f.maxSource == null) srcOk = false
+      else {
+        if (minSrc == null || ord.lt(f.minSource, minSrc)) minSrc = f.minSource
+        if (maxSrc == null || ord.gt(f.maxSource, maxSrc)) maxSrc = f.maxSource
+      }
+      if (f.minNtok > f.maxNtok) nOk = false // no-stats sentinel
+      else {
+        if (f.minNtok < minN) minN = f.minNtok
+        if (f.maxNtok > maxN) maxN = f.maxNtok
+      }
+    }
+    val empty = count == 0L
+    // SQL semantics over an empty table: COUNT = 0, everything else NULL.
+    def minOf(c: String): Option[Any] = c match {
+      case "doc_id" if docOk => Some(if (empty) null else minDoc)
+      case "source" if srcOk => Some(if (empty) null else minSrc)
+      case "n_tok" if nOk => Some(if (empty) null else minN)
+      case _ => None // stats hole: refuse pushdown, scan normally
+    }
+    def maxOf(c: String): Option[Any] = c match {
+      case "doc_id" if docOk => Some(if (empty) null else maxDoc)
+      case "source" if srcOk => Some(if (empty) null else maxSrc)
+      case "n_tok" if nOk => Some(if (empty) null else maxN)
+      case _ => None
+    }
+    def fieldType(c: String) = TokenTable.tokenSchema(c).dataType
+    val cols: Array[Option[(org.apache.spark.sql.types.DataType, Any)]] =
+      agg.aggregateExpressions().map {
+        case _: CountStar => Some(org.apache.spark.sql.types.LongType -> count)
+        case _: Count => Some(org.apache.spark.sql.types.LongType -> count)
+        case m: Min =>
+          val c = colName(m.column()).get
+          minOf(c).map(v => fieldType(c) -> v)
+        case m: Max =>
+          val c = colName(m.column()).get
+          maxOf(c).map(v => fieldType(c) -> v)
+        case _: Sum =>
+          Some(org.apache.spark.sql.types.LongType ->
+            (if (empty) null else sumN))
+        case _ => None
+      }
+    if (cols.exists(_.isEmpty)) return false
+    val schema = StructType(cols.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", c.get._1, nullable = true)
+    })
+    aggResult = Some((schema, Row.fromSeq(cols.map(_.get._2).toIndexedSeq)))
+    true
+  }
+
   override def build(): Scan = new V1Scan {
-    private val schema = required
+    private val schema = aggResult.map(_._1).getOrElse(required)
     override def readSchema(): StructType = schema
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
       new BaseRelation with TableScan {
         override def sqlContext: SQLContext = context
-        override def schema: StructType =
-          if (required.isEmpty) new StructType() else required
+        override def schema: StructType = aggResult match {
+          case Some((s, _)) => s
+          case None => if (required.isEmpty) new StructType() else required
+        }
         override def buildScan(): RDD[Row] = {
           val spark = context.sparkSession
-          var df = table.innerScan(spark)
-          pushed.flatMap(GraftScanBuilder.toColumn).foreach(c => df = df.filter(c))
-          val out =
-            if (required.isEmpty) df.select()
-            else df.select(required.fieldNames.map(col).toIndexedSeq: _*)
-          out.rdd
+          aggResult match {
+            case Some((_, row)) =>
+              // Metadata-only answer: one row, zero data IO.
+              spark.sparkContext.parallelize(Seq(row), 1)
+            case None =>
+              var df = table.innerScan(spark)
+              pushed.flatMap(GraftScanBuilder.toColumn).foreach(c => df = df.filter(c))
+              val out =
+                if (required.isEmpty) df.select()
+                else df.select(required.fieldNames.map(col).toIndexedSeq: _*)
+              out.rdd
+          }
         }
       }.asInstanceOf[T]
   }

@@ -124,6 +124,39 @@ class TokenTable(val location: String, val spark: SparkSession) {
     classicSpark.baseRelationToDataFrame(relation)
   }
 
+  /** INCREMENTAL (CDC-style) read: the rows ADDED in `(fromVersion,
+    * toVersion]` — the consumer pattern "give me what's new since the
+    * snapshot I last processed" that a training-data pipeline polls a
+    * 100 TB table with (re-tokenize only new documents, ship only new
+    * shards), without ever re-scanning the table.
+    *
+    * Sound only across APPEND-ONLY history: appends carry the parent's
+    * manifest list forward and append new manifests, so `from.manifests`
+    * must be a PREFIX of `to.manifests` and the delta IS the manifest
+    * suffix — zero data IO to plan, and the result reads through the
+    * same [[ManifestFileIndex]] as any scan (filter pushdown and
+    * min/max pruning work on incremental reads too). A rewrite in the
+    * range (compact/cluster/merge/delete/update — all replace the
+    * manifest list with fresh UUIDs) re-homes EXISTING rows into new
+    * files, so the file-level delta would misreport them as new data:
+    * those ranges fail loudly and the consumer re-syncs from a full
+    * scan — the same contract as Iceberg's incremental append scan.
+    * (A rollback to a version inside the range keeps the prefix
+    * property and correctly yields only the additions that SURVIVED the
+    * rollback.)
+    */
+  def scanChanges(fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"scanChanges range is inverted: v$fromVersion > v$toVersion")
+    val to = snapshotAt(toVersion)
+    val from = snapshotAt(fromVersion)
+    require(to.manifests.take(from.manifests.length) == from.manifests,
+      s"scanChanges(v$fromVersion, v$toVersion): the range contains a " +
+        "rewrite commit (compact/cluster/merge/delete/update), so the " +
+        "file delta does not equal the row delta — re-sync from a full scan")
+    scan(to.copy(manifests = to.manifests.drop(from.manifests.length)))
+  }
+
   /** Pruned scan: only data files whose manifest [min,max] stats can
     * contain matching rows (the mechanism MERGE uses to touch only
     * affected files; clustering exists to make these prunes selective).

@@ -65,6 +65,29 @@ class CompactRechunkSpec extends SparkSpec {
       s"median group must be writer-sized now: ${after.map(_.avgGroupBytes)}")
   }
 
+  test("rechunk never resumes a crashed DEFAULT run's plan (mode-scoped execId)") {
+    val t = TokenTable.create(spark, tmpDir("rechunk_iso"))
+    spark.conf.set("graft.write.rowGroupBytes", (48 * 1024).toString)
+    try {
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 8000, minLen = 64, maxLen = 128, numPartitions = 1)))
+    } finally spark.conf.unset("graft.write.rowGroupBytes")
+    val f0 = t.filesLocal(t.current).head
+    val target = math.max(1L << 20, f0.bytes / 2)
+    // A DEFAULT run finds nothing to pack (the file is too big for
+    // candidacy), commits nothing — but PERSISTS its empty plan at this
+    // version. Lineage resume keys on execId alone, so without the
+    // mode-scoped execId a rechunk retry with the same jobId would be
+    // handed that empty plan and silently do nothing.
+    val skip = Compact.run(t, targetBytes = target, jobId = "iso-job")
+    assert(skip.binsRewritten == 0)
+    val res = Compact.run(t, targetBytes = target, jobId = "iso-job",
+      rechunk = true)
+    assert(res.binsRewritten == 1,
+      s"rechunk must not inherit the default run's empty persisted plan: $res")
+    assert(res.resumedTasks == 0)
+  }
+
   test("rechunk mode consolidates large fragmented files default compaction skips") {
     val t = TokenTable.create(spark, tmpDir("rechunk"))
     spark.conf.set("graft.write.rowGroupBytes", (48 * 1024).toString)

@@ -21,6 +21,62 @@ class GraftCatalogSpec extends SparkSpec {
   private val ddlCols =
     "(doc_id STRING NOT NULL, tokens ARRAY<INT> NOT NULL, n_tok INT NOT NULL, source STRING NOT NULL)"
 
+  test("aggregate pushdown: count/min/max/sum answered from manifest stats") {
+    withCatalog {
+      val loc = tmpDir("cat_agg")
+      val t = TokenTable.create(spark, loc)
+      (0 until 3).foreach { i =>
+        t.append(TokenGen.asTokenRows(TokenGen.generate(
+          spark, 200, idOffset = i * 200L, numPartitions = 2)))
+      }
+      val aggSql = s"SELECT count(*), count(doc_id), min(doc_id), max(doc_id), " +
+        s"min(n_tok), max(n_tok), sum(n_tok), min(source), max(source) FROM graft.`$loc`"
+      // Ground truth from the ordinary scan path first.
+      val full = {
+        import org.apache.spark.sql.functions._
+        t.scan().agg(count(lit(1)), count(col("doc_id")),
+          min(col("doc_id")), max(col("doc_id")),
+          min(col("n_tok")), max(col("n_tok")), sum(col("n_tok")),
+          min(col("source")), max(col("source"))).head()
+      }
+      assert(spark.sql(aggSql).head() == full)
+
+      // THE zero-data-IO proof: delete every data file from disk (keep
+      // manifests); the metadata aggregate must still answer, a data
+      // query must fail.
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$loc/data"))
+      try st.iterator().asScala.toSeq
+        .filter(p => p.toString.endsWith(".parquet"))
+        .foreach(java.nio.file.Files.delete)
+      finally st.close()
+      assert(spark.sql(aggSql).head() == full,
+        "metadata aggregates must not touch data files")
+      intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft.`$loc`").collect()
+      }
+      // Filtered / grouped aggregates must NOT push down (they need the
+      // data, which is gone — so they must fail, not fabricate answers).
+      intercept[Exception] {
+        spark.sql(s"SELECT count(*) FROM graft.`$loc` WHERE n_tok > 0").collect()
+      }
+      intercept[Exception] {
+        spark.sql(s"SELECT source, count(*) FROM graft.`$loc` GROUP BY source").collect()
+      }
+    }
+  }
+
+  test("aggregate pushdown: empty table yields SQL semantics (0 / NULLs)") {
+    withCatalog {
+      val loc = tmpDir("cat_agg_empty")
+      TokenTable.create(spark, loc)
+      val r = spark.sql(
+        s"SELECT count(*), min(doc_id), max(n_tok), sum(n_tok) FROM graft.`$loc`").head()
+      assert(r.getLong(0) == 0L)
+      assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    }
+  }
+
   test("CREATE + INSERT + SELECT + VERSION AS OF + DROP through the catalog") {
     withCatalog {
       val loc = tmpDir("cat_crud")
