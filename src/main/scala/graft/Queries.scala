@@ -606,6 +606,90 @@ object Queries {
       |       ELSE 'ev-' || event_id END AS s
       |FROM events""".stripMargin
 
+  /** P2 proto3 wire-format parse (the reference's `MessageFormat::Grpc`
+    * arm, a `todo!()` stub there — see [[graft.ingest.ProtoCodec]]).
+    * Payloads are built with the native proto_encode expression from
+    * `events` columns, with deterministic fault injection exercising
+    * the full taxonomy: eid%10==3 null d -> absent field -> MissingField;
+    * eid%10==5 null s -> MissingField; eid%10==7 ts encoded as a string
+    * (wrong wire type) -> TypeMismatch; eid%10==9 payload truncated by
+    * one byte -> ParseError. The DuckDB oracle replays the arithmetic —
+    * the same contract as p1_typed_parse.
+    */
+  def p2ProtoParse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.functions.proto
+    val eid = col("event_id")
+    // 1709642040000000 = epoch µs of 2024-03-05T12:34:00Z
+    val tsUs = lit(1709642040000000L) + (eid % 60) * 1000000L + eid % 1000000
+    val d = when(eid % 10 === 3, lit(null).cast(DateType))
+      .otherwise(to_date(format_string("2024-01-%02d", eid % 28 + 1)))
+    val ts = timestamp_micros(tsUs)
+    val xs = array((eid % 7).cast("long"), (eid % 11).cast("long"),
+      (eid % 13).cast("long"))
+    val m = map(lit("a"), (eid % 17).cast("long"))
+    val s = when(eid % 10 === 5, lit(null.asInstanceOf[String]))
+      .otherwise(format_string("ev-%d", eid))
+    val good = proto.encode(struct(d.as("d"), ts.as("ts"), xs.as("xs"),
+      m.as("m"), s.as("s")))
+    // same field numbers, ts mis-typed as a string -> LEN where VARINT expected
+    val badTs = proto.encode(struct(d.as("d"), lit("not-a-ts").as("ts"),
+      xs.as("xs"), m.as("m"), s.as("s")))
+    val msgs = spark.read.parquet(s"$dir/events.parquet")
+      .select(lit("e").as("topic"), lit(0).as("partition"),
+        eid.as("offset"), lit(null.asInstanceOf[String]).as("key"),
+        when(eid % 10 === 7, badTs).otherwise(good).as("__p"))
+      .select(col("topic"), col("partition"), col("offset"), col("key"),
+        when(col("offset") % 10 === 9,
+          expr("substring(__p, 1, length(__p) - 1)"))
+          .otherwise(col("__p")).as("value"))
+      .as[graft.ingest.RawProtoMessage]
+    val schema = StructType(Seq(
+      StructField("d", DateType),
+      StructField("ts", TimestampType),
+      StructField("xs", ArrayType(LongType)),
+      StructField("m", MapType(StringType, LongType)),
+      StructField("s", StringType)))
+    val (valid, dead) = graft.ingest.ProtoParse.parse(msgs, schema)
+    valid.select(
+        col("offset").as("event_id"),
+        lit(null.asInstanceOf[String]).as("err"),
+        col("d").cast("string").as("d_str"),
+        unix_micros(col("ts")).as("ts_us"),
+        aggregate(col("xs"), lit(0L), (a, x) => a + x).as("xs_sum"),
+        element_at(col("m"), "a").as("m_a"),
+        col("s"))
+      .unionByName(dead.select(
+        col("offset").as("event_id"),
+        col("error").as("err"),
+        lit(null.asInstanceOf[String]).as("d_str"),
+        lit(null).cast("long").as("ts_us"),
+        lit(null).cast("long").as("xs_sum"),
+        lit(null).cast("long").as("m_a"),
+        lit(null.asInstanceOf[String]).as("s")))
+  }
+
+  val p2ProtoSql: String =
+    """SELECT event_id,
+      |  CASE WHEN event_id % 10 = 3 THEN 'MissingField: d'
+      |       WHEN event_id % 10 = 5 THEN 'MissingField: s'
+      |       WHEN event_id % 10 = 7 THEN 'TypeMismatch: ts'
+      |       WHEN event_id % 10 = 9 THEN 'ParseError: length past end of payload'
+      |       ELSE NULL END AS err,
+      |  CASE WHEN event_id % 10 IN (3, 5, 7, 9) THEN NULL
+      |       ELSE printf('2024-01-%02d', event_id % 28 + 1) END AS d_str,
+      |  CASE WHEN event_id % 10 IN (3, 5, 7, 9) THEN NULL
+      |       ELSE 1709642040000000 + (event_id % 60) * 1000000
+      |            + event_id % 1000000 END AS ts_us,
+      |  CASE WHEN event_id % 10 IN (3, 5, 7, 9) THEN NULL
+      |       ELSE event_id % 7 + event_id % 11 + event_id % 13 END AS xs_sum,
+      |  CASE WHEN event_id % 10 IN (3, 5, 7, 9) THEN NULL
+      |       ELSE event_id % 17 END AS m_a,
+      |  CASE WHEN event_id % 10 IN (3, 5, 7, 9) THEN NULL
+      |       ELSE 'ev-' || event_id END AS s
+      |FROM events""".stripMargin
+
   /** P1 JSON parse + projection (the reference's payload path). */
   def p1ParseProject(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/events.parquet")

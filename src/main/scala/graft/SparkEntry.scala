@@ -41,6 +41,7 @@ object SparkEntry {
     "t1_batch_trigger" -> ((s, d) => Queries.t1BatchTrigger(s, d)),
     "p1_parse_project" -> ((s, d) => Queries.p1ParseProject(s, d)),
     "p1_typed_parse" -> ((s, d) => Queries.p1TypedParse(s, d)),
+    "p2_proto_parse" -> ((s, d) => Queries.p2ProtoParse(s, d)),
     "m3_stats_agg" -> ((s, d) => Queries.m3StatsAgg(s, d)),
     "m4_orphan_antijoin" -> ((s, d) => Queries.m4OrphanAntiJoin(s, d)),
     // Training-data pipeline operators
@@ -103,6 +104,7 @@ object SparkEntry {
     "t1_batch_trigger" -> Queries.t1Sql,
     "p1_parse_project" -> Queries.p1Sql,
     "p1_typed_parse" -> Queries.p1TypedSql,
+    "p2_proto_parse" -> Queries.p2ProtoSql,
     "m3_stats_agg" -> Queries.m3Sql,
     "m4_orphan_antijoin" -> Queries.m4Sql,
     "text_analyze" -> ops.TextOps.analyzeSql,

@@ -17,9 +17,22 @@ case class GraftConfig(
     maxWaitSecs: Int, // flush interval ceiling; reference default 360
     targetFileBytes: Long, // compaction/clustering target (ours)
     writeMode: WriteMode, // Insert (append) | Upsert (merge on doc_id)
+    messageFormat: MessageFormat, // Json | Grpc (reference config/mod.rs:37)
     monitoringEnabled: Boolean,
     monitoringEndpoint: Option[String],
     logLevel: String)
+
+/** Payload format of the source messages (reference
+  * `/root/reference/src/config/mod.rs:44-49`): Json routes through
+  * [[graft.ingest.Ingest.parse]], Grpc through the proto3 wire decode
+  * ([[graft.ingest.Ingest.parseProto]]) — the arm the reference
+  * declares but leaves as a `todo!()` stub.
+  */
+sealed trait MessageFormat
+object MessageFormat {
+  case object Json extends MessageFormat
+  case object Grpc extends MessageFormat
+}
 
 sealed trait WriteMode
 object WriteMode {
@@ -65,6 +78,11 @@ object GraftConfig {
         case "upsert" => Right(WriteMode.Upsert)
         case other => Left(GraftError.ConfigError(s"unknown write.mode '$other'"))
       }
+      format <- kv.getOrElse("source.message_format", "json").toLowerCase match {
+        case "json" => Right(MessageFormat.Json)
+        case "grpc" => Right(MessageFormat.Grpc)
+        case other => Left(GraftError.ConfigError(s"unknown source.message_format '$other'"))
+      }
     } yield GraftConfig(
       tablePath = table,
       sourceTopics = topics,
@@ -74,6 +92,7 @@ object GraftConfig {
       targetFileBytes = kv.get("table.target_file_bytes").flatMap(_.toLongOption)
         .filter(_ > 0).getOrElse(DefaultTargetFileBytes),
       writeMode = mode,
+      messageFormat = format,
       monitoringEnabled = monEnabled,
       monitoringEndpoint = monEndpoint,
       logLevel = kv.getOrElse("logging.level", "WARN"))
@@ -97,6 +116,7 @@ object GraftConfig {
     "kafka.group_id" -> "source.group_id",
     "delta.table_path" -> "table.path",
     "delta.mode" -> "write.mode",
+    "delta.message_format" -> "source.message_format",
     "monitoring.service_name" -> "monitoring.service_name")
 
   /** Load + validate a CONFIG FILE (the reference's entry point,

@@ -96,6 +96,18 @@ object Ingest {
     (valid, dead)
   }
 
+  /** P2: the gRPC-mode parse arm (reference `MessageFormat::Grpc`
+    * dispatch, `src/kafka/mod.rs:272-278`; parser left `todo!()` there,
+    * `src/utils/mod.rs:158-164` — see [[ProtoCodec]] for the semantics
+    * we give it). Same split contract as [[parse]]. The JSON path's
+    * post-parse null quarantine is structurally vacuous here: proto3
+    * wire format cannot express a null field (absent = MissingField
+    * dead letter) nor a null array element, so every valid row already
+    * satisfies the table's non-nullable schema.
+    */
+  def parseProto(msgs: Dataset[RawProtoMessage]): (DataFrame, Dataset[DeadLetter]) =
+    ProtoParse.parse(msgs, payloadSchema)
+
   /** D1 first-wins dual-key dedup
     * (`/root/reference/src/pipeline/mod.rs:58-80`): a record loses if its
     * offset was already seen OR its non-null key was already seen; first
