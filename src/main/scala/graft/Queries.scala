@@ -433,6 +433,45 @@ object Queries {
       |WHERE NOT (printf('doc_%012d', doc_id) < 'doc_000000000100'
       |           OR len(regexp_extract_all(text, '\S+')) > 88)""".stripMargin
 
+  /** M10 SCHEMA EVOLUTION end-to-end (ALTER TABLE ADD/RENAME COLUMN,
+    * [[graft.table.SchemaEvolution]]): even-id docs ingest BEFORE the
+    * column exists (reads must null-fill), odd-id docs after it, with
+    * `lang = substr(source, 1, 2)`; the column is then RENAMED to
+    * `language` (logical-only — physical files never change), and a
+    * compaction rewrites bins MIXING pre- and post-ALTER parquet
+    * schemas. The oracle replays the final logical view in pure SQL, so
+    * null-fill, logical re-labelling and evolved-column preservation
+    * through maintenance are all hash-checked.
+    */
+  def m10SchemaEvolutionScan(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
+    val loc = freshQueryDir("m10", dir)
+    val t = TokenTable.create(spark, loc)
+    val docs = tokenizedDocs(spark, dir)
+      .withColumn("__raw", expr("CAST(substring(doc_id, 5) AS BIGINT)"))
+    t.append(docs.filter(col("__raw") % 2 === 0).drop("__raw"))
+    spark.sql(s"ALTER TABLE graft.`$loc` ADD COLUMN lang STRING")
+    t.append(docs.filter(col("__raw") % 2 === 1).drop("__raw")
+      .withColumn("lang", substring(col("source"), 1, 2)))
+    spark.sql(s"ALTER TABLE graft.`$loc` RENAME COLUMN lang TO language")
+    val res = Compact.run(t, targetBytes = 8L * 1024 * 1024, jobId = "q-m10")
+    require(res.binsRewritten > 0, "m10 compaction found nothing to do")
+    t.scanLogical().select(
+      col("doc_id"),
+      col("source"),
+      col("n_tok").cast("long").as("n_tok"),
+      aggregate(col("tokens"), lit(0L), (a, x) => a + x).as("tok_sum"),
+      col("language"))
+  }
+
+  val m10SchemaEvolutionSql: String =
+    """SELECT printf('doc_%012d', doc_id) AS doc_id,
+      |       source,
+      |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+      |       CAST(coalesce(list_sum(list_transform(regexp_extract_all(text, '\S+'), w -> len(w))), 0) AS BIGINT) AS tok_sum,
+      |       CASE WHEN doc_id % 2 = 1 THEN substr(source, 1, 2) END AS language
+      |FROM documents""".stripMargin
+
   /** M7 lineage metrics after a compaction job. The per-task breakdown
     * depends on bin planning (spec-tested in MaintainSpec), but the
     * lineage INVARIANT is oracle-checkable: with a target far above any

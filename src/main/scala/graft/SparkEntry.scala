@@ -28,6 +28,7 @@ object SparkEntry {
     "m8_call_procedures_scan" -> ((s, d) => Queries.m8CallProceduresScan(s, d)),
     "m9_delete_sql_scan" -> ((s, d) => Queries.m9DeleteSqlScan(s, d)),
     "m9_update_sql_scan" -> ((s, d) => Queries.m9UpdateSqlScan(s, d)),
+    "m10_schema_evolution_scan" -> ((s, d) => Queries.m10SchemaEvolutionScan(s, d)),
     "m4_expire_scan" -> ((s, d) => Queries.m4ExpireScan(s, d)),
     "m5_timetravel_scan" -> ((s, d) => Queries.m5TimeTravelScan(s, d)),
     "m5_rollback_scan" -> ((s, d) => Queries.m5RollbackScan(s, d)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "m8_call_procedures_scan" -> Queries.tokenizedDocsSql, // CALL procs are state-preserving
     "m9_delete_sql_scan" -> Queries.m9DeleteSql,
     "m9_update_sql_scan" -> Queries.m9UpdateSql,
+    "m10_schema_evolution_scan" -> Queries.m10SchemaEvolutionSql,
     "m4_expire_scan" -> Queries.tokenizedDocsSql,
     "m5_timetravel_scan" -> Queries.tokenizedDocsSql,
     "m5_rollback_scan" -> Queries.tokenizedDocsSql, // rollback restores the base state

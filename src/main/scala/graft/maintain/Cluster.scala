@@ -320,7 +320,9 @@ object Cluster {
         .withColumn("pid", element_at(lit(bases), col("bucket") + 1) + col("salt")),
       $"pid", math.max(1, acc))
       .sortWithinPartitions($"doc_id")
-      .select("doc_id", "tokens", "n_tok", "source")
+      // Project back to the TABLE's columns (drops the routing helpers);
+      // schema-driven so evolved (added) columns survive the rewrite.
+      .select(table.schema.fieldNames.toIndexedSeq.map(col): _*)
 
     val out = table.writeDataFilesTo(clustered, s"data/$jobId-v${parent.version}",
       overwrite = true, sortBy = None)
@@ -441,7 +443,9 @@ object Cluster {
         .withColumn("pid", element_at(lit(bases), col("bucket") + 1) + col("salt")),
       $"pid", math.max(1, numPartitions))
       .sortWithinPartitions($"ckey")
-      .select("doc_id", "tokens", "n_tok", "source")
+      // Project back to the TABLE's columns (drops the routing helpers);
+      // schema-driven so evolved (added) columns survive the rewrite.
+      .select(table.schema.fieldNames.toIndexedSeq.map(col): _*)
 
     // Version-scoped output dir: re-running a jobId after its commit must
     // never overwrite files the current snapshot references.

@@ -274,8 +274,15 @@ object Merge {
     import spark.implicits._
     val parent = table.current
 
-    val src = dedupFirstWins(source, precedenceCol)
-      .select("doc_id", "tokens", "n_tok", "source")
+    // Align the source to the table's PHYSICAL schema first (sources
+    // address evolved tables by LOGICAL names; missing added columns
+    // null-fill — SchemaEvolution.alignToPhysical), then dedup.
+    val physFields = table.schema.fieldNames.toIndexedSeq
+    val src = dedupFirstWins(
+        graft.table.SchemaEvolution.alignToPhysical(
+          source, table.schema, keep = Seq(precedenceCol)),
+        precedenceCol)
+      .select(physFields.map(col): _*)
       .cache()
     val srcRows = src.count()
 
@@ -388,20 +395,26 @@ object Merge {
         // NULL key hashes to ONE shuffle partition and the sort-merge
         // join serializes on a single task; the composite key keeps cold
         // rows distributed by doc_id.
+        // Column lists come from the table schema (physical names), so
+        // evolved columns ride through the rewrite untouched.
+        val colsT = physFields.map(n => s"t.`$n`").mkString(", ")
+        val colsP = physFields.map(n => s"`$n`").mkString(", ")
         spark.sql(
-          s"""SELECT t.doc_id, t.tokens, t.n_tok, t.source, t.__part
+          s"""SELECT $colsT, t.__part
              |FROM $tv t LEFT ANTI JOIN (SELECT doc_id, 0 AS __k FROM $sv) s
              |  ON t.doc_id = s.doc_id
              | AND (CASE WHEN t.__part = 'h' THEN 0 ELSE 1 END) = s.__k
              |UNION ALL
-             |SELECT doc_id, tokens, n_tok, source, 'h' AS __part FROM $sv""".stripMargin)
+             |SELECT $colsP, 'h' AS __part FROM $sv""".stripMargin)
       } else {
         target.createOrReplaceTempView(tv)
+        val colsT = physFields.map(n => s"t.`$n`").mkString(", ")
+        val colsP = physFields.map(n => s"`$n`").mkString(", ")
         spark.sql(
-          s"""SELECT t.doc_id, t.tokens, t.n_tok, t.source
+          s"""SELECT $colsT
              |FROM $tv t LEFT ANTI JOIN $sv s ON t.doc_id = s.doc_id
              |UNION ALL
-             |SELECT doc_id, tokens, n_tok, source FROM $sv""".stripMargin)
+             |SELECT $colsP FROM $sv""".stripMargin)
       }
 
     // Version-scoped output dir (same rationale as Compact/Cluster).

@@ -33,8 +33,10 @@ case class GraftMergeCommand(path: String, source: LogicalPlan)
 
   override def run(spark: SparkSession): Seq[Row] = {
     val t = TokenTable.open(spark, path)
+    // Pass the source through unprojected: Merge.mergeInto aligns it to
+    // the table's physical schema by (logical or physical) name and
+    // null-fills evolved columns the source doesn't carry.
     val src = GraftSqlBridge.ofRows(spark, source)
-      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
       .withColumn("__prec", lit(0L))
     val jobId = s"sql-merge-${java.util.UUID.randomUUID().toString.take(8)}"
     val res = Merge.mergeInto(t, src, "__prec", jobId)

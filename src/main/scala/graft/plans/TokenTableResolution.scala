@@ -61,11 +61,19 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     case UnresolvedRelation(Seq(ns, path), _, _) if isGraft(ns) && TokenTable.exists(path) =>
       val t = TokenTable.open(spark, path)
       ns match {
-        // Incremental append delta: rows added in (vA, vB].
+        // Incremental append delta: rows added in (vA, vB]. The logical
+        // re-labelling uses the TO-snapshot's schema (the view a
+        // consumer of that version sees).
         case Changes(a, b) =>
-          t.scanChanges(a.toLong, b.toLong).queryExecution.analyzed
-        case Versioned(v) => t.scan(t.snapshotAt(v.toLong)).queryExecution.analyzed
-        case _ => t.scan(t.current).queryExecution.analyzed
+          graft.table.SchemaEvolution.aliasToLogical(
+            t.scanChanges(a.toLong, b.toLong),
+            org.apache.spark.sql.types.DataType
+              .fromJson(t.snapshotAt(b.toLong).schemaJson)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .queryExecution.analyzed
+        case Versioned(v) =>
+          t.scanLogical(t.snapshotAt(v.toLong)).queryExecution.analyzed
+        case _ => t.scanLogical(t.current).queryExecution.analyzed
       }
     case u => u
   }
@@ -105,8 +113,13 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => false
         })
     m.mergeCondition match {
+      // Both sides must be the merge key — mapped through the rename
+      // table so `ON t.id = s.id` works after RENAME doc_id TO id
+      // (source columns mirror the target's logical names in the star
+      // form this engine supports).
       case EqualTo(l, r)
-        if attrName(l).contains("doc_id") && attrName(r).contains("doc_id") => ()
+        if attrName(l).map(toPhysical(path, _)).contains("doc_id") &&
+           attrName(r).map(toPhysical(path, _)).contains("doc_id") => ()
       case other => bad(s"unsupported merge condition $other")
     }
     m.matchedActions match {
@@ -134,11 +147,23 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     * relation's attribute ids. Unknown columns fail loudly here, at
     * analysis time.
     */
+  /** User SQL addresses LOGICAL column names; the DML machinery and the
+    * physical scan it binds against use PHYSICAL names — translate
+    * (identity until a RENAME COLUMN exists; unknown names pass through
+    * and fail loudly at bind time).
+    */
+  private def toPhysical(path: String, name: String): String =
+    graft.table.SchemaEvolution
+      .logicalToPhysical(TokenTable.open(spark, path).schema)
+      .getOrElse(name.toLowerCase, name)
+
   private def convertDelete(condition: org.apache.spark.sql.catalyst.expressions.Expression,
       path: String): LogicalPlan = {
     val byName = condition.transform {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        UnresolvedAttribute(Seq(a.name))
+        UnresolvedAttribute(Seq(toPhysical(path, a.name)))
+      case a: UnresolvedAttribute =>
+        UnresolvedAttribute(Seq(toPhysical(path, a.nameParts.last)))
     }
     val bound = TokenTable.open(spark, path).scan()
       .filter(org.apache.spark.sql.GraftSqlBridge.column(byName))
@@ -161,13 +186,15 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
     import org.apache.spark.sql.GraftSqlBridge
     def keyName(e: org.apache.spark.sql.catalyst.expressions.Expression): String = e match {
-      case a: UnresolvedAttribute => a.nameParts.last
-      case a: AttributeReference => a.name
+      case a: UnresolvedAttribute => toPhysical(path, a.nameParts.last)
+      case a: AttributeReference => toPhysical(path, a.name)
       case other => throw new UnsupportedOperationException(
         s"UPDATE graft.`$path`: unsupported assignment target $other (plain columns only)")
     }
     def byName(e: org.apache.spark.sql.catalyst.expressions.Expression) = e.transform {
-      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+      case a: AttributeReference => UnresolvedAttribute(Seq(toPhysical(path, a.name)))
+      case a: UnresolvedAttribute =>
+        UnresolvedAttribute(Seq(toPhysical(path, a.nameParts.last)))
     }
     val scan = TokenTable.open(spark, path).scan()
     // Bind each value expression by projecting it over the scan.

@@ -117,9 +117,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(p, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is unsupported: the token schema is fixed (schema evolution is a recorded non-goal)")
+  /** `ALTER TABLE graft.\`/path\` ADD/DROP/RENAME COLUMN` — a
+    * metadata-only snapshot commit, zero data IO
+    * ([[graft.table.SchemaEvolution]]).
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = path(ident)
+    if (!TokenTable.exists(p)) throw new NoSuchTableException(ident)
+    TokenTable.open(SparkSession.active, p).alterSchema(changes)
+    new GraftTable(p, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = path(ident)
@@ -147,7 +154,16 @@ class GraftTable(val location: String, versionAsOf: Option[Long])
 
   override def name(): String = s"graft.`$location`"
 
-  override def schema(): StructType = TokenTable.tokenSchema
+  /** The pinned snapshot's LOGICAL schema (post-evolution view). Read
+    * straight from the snapshot JSON — no SparkSession needed.
+    */
+  override def schema(): StructType = {
+    val v = versionAsOf.getOrElse(Format.currentVersion(location))
+    graft.table.SchemaEvolution.logicalSchema(
+      org.apache.spark.sql.types.DataType
+        .fromJson(Format.readSnapshot(location, v).schemaJson)
+        .asInstanceOf[StructType])
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
@@ -174,7 +190,10 @@ class GraftTable(val location: String, versionAsOf: Option[Long])
                 throw new UnsupportedOperationException(
                   "INSERT OVERWRITE is unsupported; tables rewrite through MERGE/compaction")
               val t = TokenTable.open(data.sparkSession, location)
-              t.append(data.select("doc_id", "tokens", "n_tok", "source"))
+              // Spark aligned `data` to the table's LOGICAL schema
+              // (order + names); re-label positionally to PHYSICAL
+              // names — the only names data files ever carry.
+              t.append(data.toDF(t.schema.fieldNames.toIndexedSeq: _*))
             }
           }
       }
@@ -185,10 +204,18 @@ class GraftTable(val location: String, versionAsOf: Option[Long])
     * pinned snapshot.
     */
   private[sql] def innerScan(spark: SparkSession): DataFrame =
-    TokenTable.open(spark, location).scan(snapshot(spark))
+    TokenTable.open(spark, location).scanLogical(snapshot(spark))
 
   /** The pinned snapshot (for metadata-only answers). */
   private[sql] def pinnedSnapshot(spark: SparkSession): Snapshot = snapshot(spark)
+
+  /** The pinned snapshot's PHYSICAL schema (storage names). */
+  private[sql] def physicalSchema: StructType = {
+    val v = versionAsOf.getOrElse(Format.currentVersion(location))
+    org.apache.spark.sql.types.DataType
+      .fromJson(Format.readSnapshot(location, v).schemaJson)
+      .asInstanceOf[StructType]
+  }
 }
 
 /** Scan builder: collects column pruning + pushable filters, then falls
@@ -213,7 +240,18 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
-  private var required: StructType = TokenTable.tokenSchema
+  private val logicalSchema: StructType = table.schema()
+  /** logical name (lowercased) → physical storage name; aggregate
+    * pushdown reasons about PHYSICAL columns (stats and non-null
+    * guarantees attach to storage columns, and a user-added nullable
+    * column can never shadow them — SchemaEvolution reserves the core
+    * names).
+    */
+  private val l2p: Map[String, String] =
+    graft.table.SchemaEvolution.logicalToPhysical(table.physicalSchema)
+  private def phys(logical: String): Option[String] = l2p.get(logical.toLowerCase)
+
+  private var required: StructType = logicalSchema
   private var pushed: Array[Filter] = Array.empty
   private var aggResult: Option[(StructType, Row)] = None
 
@@ -246,11 +284,17 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
     agg.groupByExpressions().isEmpty && pushed.isEmpty &&
       agg.aggregateExpressions().forall {
         case _: CountStar => true
-        case c: Count => !c.isDistinct && colName(c.column()).exists(
-          TokenTable.tokenSchema.fieldNames.contains) // all columns non-null
-        case m: Min => colName(m.column()).exists(Set("doc_id", "source", "n_tok"))
-        case m: Max => colName(m.column()).exists(Set("doc_id", "source", "n_tok"))
-        case s: Sum => !s.isDistinct && colName(s.column()).contains("n_tok")
+        // COUNT(col) == COUNT(*) only for the never-null CORE columns —
+        // resolved through the rename map so a renamed core column still
+        // pushes down and an ADDED (nullable) column never does.
+        case c: Count => !c.isDistinct && colName(c.column())
+          .flatMap(phys).exists(graft.table.SchemaEvolution.CoreFields)
+        case m: Min => colName(m.column())
+          .flatMap(phys).exists(Set("doc_id", "source", "n_tok"))
+        case m: Max => colName(m.column())
+          .flatMap(phys).exists(Set("doc_id", "source", "n_tok"))
+        case s: Sum => !s.isDistinct &&
+          colName(s.column()).flatMap(phys).contains("n_tok")
         case _ => false
       }
 
@@ -287,19 +331,22 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
     }
     val empty = count == 0L
     // SQL semantics over an empty table: COUNT = 0, everything else NULL.
-    def minOf(c: String): Option[Any] = c match {
-      case "doc_id" if docOk => Some(if (empty) null else minDoc)
-      case "source" if srcOk => Some(if (empty) null else minSrc)
-      case "n_tok" if nOk => Some(if (empty) null else minN)
+    // Dispatch on the PHYSICAL column behind the (possibly renamed)
+    // logical reference.
+    def minOf(c: String): Option[Any] = phys(c) match {
+      case Some("doc_id") if docOk => Some(if (empty) null else minDoc)
+      case Some("source") if srcOk => Some(if (empty) null else minSrc)
+      case Some("n_tok") if nOk => Some(if (empty) null else minN)
       case _ => None // stats hole: refuse pushdown, scan normally
     }
-    def maxOf(c: String): Option[Any] = c match {
-      case "doc_id" if docOk => Some(if (empty) null else maxDoc)
-      case "source" if srcOk => Some(if (empty) null else maxSrc)
-      case "n_tok" if nOk => Some(if (empty) null else maxN)
+    def maxOf(c: String): Option[Any] = phys(c) match {
+      case Some("doc_id") if docOk => Some(if (empty) null else maxDoc)
+      case Some("source") if srcOk => Some(if (empty) null else maxSrc)
+      case Some("n_tok") if nOk => Some(if (empty) null else maxN)
       case _ => None
     }
-    def fieldType(c: String) = TokenTable.tokenSchema(c).dataType
+    def fieldType(c: String) = logicalSchema.fields
+      .find(_.name.equalsIgnoreCase(c)).get.dataType
     val cols: Array[Option[(org.apache.spark.sql.types.DataType, Any)]] =
       agg.aggregateExpressions().map {
         case _: CountStar => Some(org.apache.spark.sql.types.LongType -> count)

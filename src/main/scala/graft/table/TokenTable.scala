@@ -23,6 +23,12 @@ class TokenTable(val location: String, val spark: SparkSession) {
   def schema: StructType =
     DataType.fromJson(current.schemaJson).asInstanceOf[StructType]
 
+  /** The user-visible schema: physical fields under their logical
+    * (possibly renamed) names. Identical to [[schema]] until a RENAME
+    * COLUMN is applied ([[SchemaEvolution]]).
+    */
+  def logicalSchema: StructType = SchemaEvolution.logicalSchema(schema)
+
   /** Manifest scan as a Dataset — at 10^12-sequence scale the manifest
     * is itself big data, so set operations on file inventories (GC,
     * pruning) stay distributed.
@@ -93,7 +99,8 @@ class TokenTable(val location: String, val spark: SparkSession) {
     * (`spark.sql("SELECT ... FROM name")`, the merge rewrite, ad-hoc
     * analysis) compile against the table through Spark SQL.
     */
-  def registerView(name: String): Unit = scan().createOrReplaceTempView(name)
+  def registerView(name: String): Unit =
+    scanLogical().createOrReplaceTempView(name)
 
   /** Manifest-streamed scan: a [[ManifestFileIndex]]-backed relation —
     * no filesystem listing, no driver path collect; file statuses come
@@ -102,6 +109,17 @@ class TokenTable(val location: String, val spark: SparkSession) {
     * takes, including time travel (any snapshot).
     */
   def scan(s: Snapshot): DataFrame = scanExcluding(s, Set.empty)
+
+  /** [[scan]] re-labelled with LOGICAL column names — the SQL-surface
+    * view after RENAME COLUMN. A zero-cost identity when nothing was
+    * renamed; otherwise a pure Project of aliases, which Catalyst pushes
+    * filters and pruning straight through.
+    */
+  def scanLogical(s: Snapshot): DataFrame =
+    SchemaEvolution.aliasToLogical(scan(s),
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+
+  def scanLogical(): DataFrame = scanLogical(current)
 
   /** [[scan]] minus the files named in `excluded` (table-relative
     * paths). This is how incremental clustering reads "everything but
@@ -221,7 +239,13 @@ class TokenTable(val location: String, val spark: SparkSession) {
     // SAFETY is unchanged — rewrites already wrote optional). Columns
     // already canonical pass through untouched.
     val dfCanon = {
-      val canonByName = TokenTable.nullableTokenSchema.fields
+      // Canonical layout covers the EVOLVED physical schema, not just
+      // the core four: added columns are nullable by construction, so
+      // widening any non-canonical input (e.g. an INSERT of literals
+      // Spark typed non-null) keeps one parquet repetition layout per
+      // column across all commits — the concat/cold-copy equality check
+      // depends on it.
+      val canonByName = TokenTable.nullableFields(schema)
         .map(f => f.name -> f).toMap
       var widenedAny = false
       val cols = df.schema.fields.map { f =>
@@ -374,7 +398,13 @@ class TokenTable(val location: String, val spark: SparkSession) {
       removedPaths: Set[String],
       summary: Map[String, String] = Map.empty,
       maxAttempts: Int = 5,
-      rebaseGuard: Option[Snapshot => Unit] = None): Snapshot = {
+      rebaseGuard: Option[Snapshot => Unit] = None,
+      schemaJsonOverride: Option[String] = None): Snapshot = {
+    // A schema-changing commit must not auto-rebase (a stale override
+    // would clobber a concurrent ALTER); callers retry the whole
+    // read-evolve-commit loop instead.
+    require(schemaJsonOverride.isEmpty || maxAttempts == 1,
+      "schemaJsonOverride requires maxAttempts = 1")
     val v = parent.map(_.version + 1).getOrElse(0L)
     // Watermarks are table state, not commit metadata: every snapshot
     // inherits its parent's offset watermarks (max-merged with its own),
@@ -390,7 +420,8 @@ class TokenTable(val location: String, val spark: SparkSession) {
     val snap = Snapshot(
       version = v,
       parentVersion = parent.map(_.version).getOrElse(-1L),
-      schemaJson = parent.map(_.schemaJson).getOrElse(TokenTable.tokenSchema.json),
+      schemaJson = schemaJsonOverride.getOrElse(
+        parent.map(_.schemaJson).getOrElse(TokenTable.tokenSchema.json)),
       operation = operation,
       manifests = keepManifests ++ addManifests,
       summary = fullSummary,
@@ -439,9 +470,41 @@ class TokenTable(val location: String, val spark: SparkSession) {
       summary = Map("rollback-to" -> version.toString))
   }
 
-  /** Append rows (token schema) as one atomic snapshot. */
+  /** ALTER TABLE: apply ADD/DROP/RENAME COLUMN changes as one
+    * metadata-only snapshot — zero data IO at any scale (see
+    * [[SchemaEvolution]]). A lost CAS race re-reads the head and
+    * re-applies the changes to the NEW schema (never rebases a stale
+    * schema blob), so concurrent appends and concurrent ALTERs both
+    * serialize correctly.
+    */
+  def alterSchema(
+      changes: Seq[org.apache.spark.sql.connector.catalog.TableChange]): Snapshot = {
+    var attempts = 5
+    while (true) {
+      val parent = current
+      val phys = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+      val evolved = SchemaEvolution.evolve(phys, changes)
+      try {
+        return commit(Some(parent), "alter-schema",
+          addManifests = Nil, keepManifests = parent.manifests,
+          removedPaths = Set.empty,
+          summary = Map("changes" -> changes.length.toString),
+          maxAttempts = 1, schemaJsonOverride = Some(evolved.json))
+      } catch {
+        case e: CommitConflictException =>
+          attempts -= 1
+          if (attempts <= 0) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  /** Append rows as one atomic snapshot. Columns resolve by physical or
+    * logical name; added (evolved) columns the producer doesn't carry
+    * null-fill — so pre-evolution producers keep working unchanged.
+    */
   def append(df: DataFrame, operation: String = "append"): Snapshot = {
-    val added = writeDataFiles(df)
+    val added = writeDataFiles(SchemaEvolution.alignToPhysical(df, schema))
     val manifest = writeManifest(added)
     val parent = if (currentVersion >= 0) Some(current) else None
     commit(
@@ -477,13 +540,16 @@ object TokenTable {
     * the CANONICAL parquet repetition layout of engine-written files
     * (see writeDataFilesTo).
     */
-  lazy val nullableTokenSchema: StructType = StructType(
-    tokenSchema.fields.map { f =>
+  lazy val nullableTokenSchema: StructType = StructType(nullableFields(tokenSchema))
+
+  /** Every field (and array element) nullable — the canonical layout. */
+  def nullableFields(schema: StructType): Array[StructField] =
+    schema.fields.map { f =>
       f.copy(nullable = true, dataType = f.dataType match {
         case ArrayType(et, _) => ArrayType(et, containsNull = true)
         case t => t
       })
-    })
+    }
 
   val tokenSchema: StructType = StructType(Seq(
     StructField("doc_id", StringType, nullable = false),
