@@ -79,6 +79,24 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!readSchema.contains("tokens"), p)
   }
 
+  test("rename alias is plan-transparent: pushdown + pruning reach parquet under physical names") {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val loc = tmpDir("planreg_evo")
+    val t = TokenTable.create(spark, loc)
+    t.append(TokenGen.asTokenRows(TokenGen.generate(spark, 2000, numPartitions = 2)))
+    t.alterSchema(Seq(TableChange.renameColumn(Array("source"), "origin")))
+    // Filter on the LOGICAL name over the aliased logical view: Catalyst
+    // must rewrite it through the alias Project so the parquet scan sees
+    // the PHYSICAL column — same pushdown as an unrenamed table.
+    val df = t.scanLogical().filter($"origin" === "web" && $"n_tok" > 100)
+      .select($"doc_id", $"n_tok")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(source,web)"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse(
+      "ReadSchema: " + p.split("ReadSchema:").last.takeWhile(_ != '>'))
+    assert(!readSchema.contains("tokens"), p)
+  }
+
   test("within-doc line dedup plans as a pure scan projection — zero exchanges, no lambdas") {
     val df = spark.read.parquet(s"$docs/documents.parquet")
       .select($"doc_id", graft.functions.TextGrams.lineDedupDoc($"text").as("d"))

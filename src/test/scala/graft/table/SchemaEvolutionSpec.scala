@@ -264,6 +264,50 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("DROP COLUMN bytes are shed by the next re-encode compaction") {
+    withCatalog {
+      val loc = tmpDir("evo_shed")
+      val t = TokenTable.create(spark, loc)
+      t.append(rows4(0 until 10))
+      spark.sql(s"ALTER TABLE graft.`$loc` ADD COLUMN blob STRING")
+      spark.sql(s"INSERT INTO graft.`$loc` VALUES " +
+        "('pp_1', array(1), 1, 'web', 'payload')")
+      spark.sql(s"ALTER TABLE graft.`$loc` DROP COLUMN blob")
+      // Rechunk forces the decode/re-encode path for every bin; the
+      // rewrite reads through the post-DROP schema, so the new files'
+      // parquet footers no longer contain the dropped physical column.
+      graft.maintain.Compact.run(t, targetBytes = 64L * 1024 * 1024,
+        jobId = "evo-shed", rechunk = true)
+      val conf = spark.sessionState.newHadoopConf()
+      t.filesLocal(t.current).foreach { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$loc/${f.path}"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val names = try r.getFooter.getFileMetaData.getSchema.getFields
+          .toArray.map(_.toString).mkString(" ") finally r.close()
+        assert(!names.contains("blob"), s"${f.path} still carries: $names")
+      }
+      assert(spark.table(s"graft.`$loc`").count() == 11)
+    }
+  }
+
+  test("incremental scanChanges works across an ALTER boundary (metadata-only commit)") {
+    withCatalog {
+      val loc = tmpDir("evo_inc")
+      val t = TokenTable.create(spark, loc)
+      t.append(rows4(0 until 10)) // v1
+      val v1 = t.currentVersion
+      spark.sql(s"ALTER TABLE graft.`$loc` ADD COLUMN lang STRING") // v2
+      spark.sql(s"INSERT INTO graft.`$loc` VALUES ('inc_1', array(1), 1, 'web', 'en')") // v3
+      // ALTER keeps the parent's manifest list (pure metadata), so the
+      // append-only prefix property holds and the delta is exactly the
+      // post-ALTER insert — read under the TO-version's evolved schema.
+      val delta = t.scanChanges(v1, t.currentVersion)
+      assert(delta.count() == 1)
+      assert(delta.columns.length == 5)
+    }
+  }
+
   test("ALTER never rebases a stale schema blob: lost CAS aborts, retry re-evolves") {
     val loc = tmpDir("evo_race")
     val t = TokenTable.create(spark, loc)
