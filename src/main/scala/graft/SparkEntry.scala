@@ -70,6 +70,7 @@ object SparkEntry {
     "corpus_domain_mix" -> ((s, d) => ops.Corpus.domainMixQuery(s, d)),
     "corpus_quality_filter" -> ((s, d) => ops.Corpus.qualityFilterQuery(s, d)),
     "dedup_lines" -> ((s, d) => ops.Dedup.lineDedupQuery(s, d)),
+    "dedup_substring" -> ((s, d) => ops.Dedup.substringDedupQuery(s, d)),
     "corpus_vocab" -> ((s, d) => ops.TextOps.vocabQuery(s, d)),
     "text_scrub" -> ((s, d) => ops.TextOps.scrubQuery(s, d)),
     "text_line_dedup_doc" -> ((s, d) => ops.TextOps.lineDedupDocQuery(s, d)),
@@ -129,6 +130,7 @@ object SparkEntry {
     "corpus_domain_mix" -> ops.Corpus.domainMixSql,
     "corpus_quality_filter" -> ops.Corpus.qualityFilterSql,
     "dedup_lines" -> ops.Dedup.lineDedupSql,
+    "dedup_substring" -> ops.Dedup.substringDedupSql,
     "corpus_vocab" -> ops.TextOps.vocabSql,
     "text_scrub" -> ops.TextOps.scrubSql,
     "text_line_dedup_doc" -> ops.TextOps.lineDedupDocSql,

@@ -355,6 +355,88 @@ object Dedup {
   def lineDedupQuery(spark: SparkSession, dir: String): DataFrame =
     lineDedup(augmented(spark, dir))
 
+  // ------------------------------------- windowed exact-substring dedup
+
+  /** Window width (words) for exact-substring duplicate detection.
+    * Production runs use ~50 tokens (Lee et al.); 8 keeps the signal
+    * meaningful on the short synthetic test documents.
+    */
+  val SubstringWindow = 8
+
+  /** WINDOWED EXACT-SUBSTRING duplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * window of [[SubstringWindow]] consecutive words appearing verbatim
+    * in more than one document marks a cross-document duplicated span —
+    * the signal behind suffix-array substring dedup, computed here the
+    * Spark-native way. Per document: total distinct windows, how many
+    * are shared with at least one OTHER document, and the shared
+    * permille (the span-removal budget a substring-dedup pass would
+    * cut).
+    *
+    * Scale shape: NO pair join anywhere — explode distinct windows
+    * (one codegen [[graft.functions.TextGrams.sliding]] kernel, stride
+    * 1), one hash aggregate for window document-frequency, one equi
+    * join of the df>=2 flag back, one per-doc aggregate. Linear in
+    * corpus token count; a boilerplate window shared by a million docs
+    * costs one aggregate row and a million flag hits, never a
+    * million-squared pair set. Docs shorter than the window collapse to
+    * one whole-text gram (kernel semantics, mirrored in SQL).
+    *
+    * Deliberate tradeoff: the exploded (doc, window) set feeds both
+    * join sides, and the aggregate side's map-side partial agg makes
+    * the two exchange subtrees differ — so the explode computes twice
+    * (two token-data passes, like the MinHash signature + band passes)
+    * rather than once through a `count over (partition by window)`
+    * window, whose hot boilerplate window would pin one unsplittable
+    * WindowExec partition. The join's equivalent hot partition is
+    * handled by AQE skew-join splitting; the window's is not.
+    */
+  def substringDedup(docs: DataFrame,
+      k: Int = SubstringWindow): DataFrame = {
+    val dg = docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextGrams.sliding(col("ws"), k))).as("g"))
+    val dfreq = dg.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
+    dg.join(dfreq, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("df").isNotNull, 1L).otherwise(0L)).as("shared_windows"))
+      .select(col("doc_id"), col("n_windows"), col("shared_windows"),
+        expr("shared_windows * 1000L div n_windows").as("shared_pm"))
+  }
+
+  def substringDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    substringDedup(augmented(spark, dir))
+
+  lazy val substringDedupSql: String = {
+    val k = SubstringWindow
+    s"""WITH base AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |  FROM $augSql aug
+       |), g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(ws) < $k THEN [array_to_string(ws, ' ')]
+       |         ELSE list_transform(range(1, len(ws) - ${k - 2}),
+       |                i -> array_to_string(ws[i:i+${k - 1}], ' ')) END AS gs
+       |  FROM base
+       |), dg AS (
+       |  SELECT DISTINCT doc_id, g
+       |  FROM (SELECT doc_id, unnest(gs) AS g FROM g) t
+       |), dfreq AS (
+       |  SELECT g, count(*) AS c FROM dg GROUP BY g
+       |)
+       |SELECT dg.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_windows,
+       |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_windows,
+       |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1000
+       |       // count(*) AS BIGINT) AS shared_pm
+       |FROM dg JOIN dfreq USING (g)
+       |GROUP BY dg.doc_id""".stripMargin
+  }
+
   /** Oracle mirror: DuckDB's `string_agg(... ORDER BY pos)` rebuilds the
     * same surviving-line text; `coalesce('')` matches Spark's empty
     * collect_list for docs whose every line was seen earlier (the

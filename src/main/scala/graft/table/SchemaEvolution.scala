@@ -149,10 +149,19 @@ object SchemaEvolution {
           .putString(LogicalKey, to).build()
       StructType(schema.fields.map(x => if (x eq f) x.copy(metadata = meta) else x))
 
+    case cmt: TableChange.UpdateColumnComment =>
+      val logical = singleName(cmt.fieldNames(), "ALTER COLUMN ... COMMENT")
+      val f = resolve(schema, logical).getOrElse(
+        fail(s"ALTER COLUMN $logical COMMENT: no such column"))
+      StructType(schema.fields.map(x =>
+        if (x eq f) x.withComment(cmt.newComment()) else x))
+
     case other =>
       throw new UnsupportedOperationException(
         s"ALTER TABLE: unsupported change ${other.getClass.getSimpleName} " +
-          "(supported: ADD COLUMN, DROP COLUMN, RENAME COLUMN)")
+          "(supported: ADD COLUMN, DROP COLUMN, RENAME COLUMN, COMMENT; " +
+          "type changes and nullability changes are rejected — data files " +
+          "are immutable and the writer enforces non-null core columns)")
   }
 
   /** Re-label a PHYSICAL-named DataFrame with logical column names — a

@@ -79,6 +79,19 @@ class PlanRegressionSpec extends SparkSpec {
     assert(!readSchema.contains("tokens"), p)
   }
 
+  test("substring dedup: equi join + hash aggregates, no nested loop, no window exec") {
+    val df = graft.ops.Dedup.substringDedup(
+      spark.read.parquet(s"$docs/documents.parquet"))
+    val p = plan(df)
+    assert(!p.contains("NestedLoop"), p)
+    // The per-window document-frequency must be a (skew-splittable)
+    // join against a map-side-combined aggregate, NOT a count-over-
+    // partition window (one hot boilerplate window = one unsplittable
+    // WindowExec partition at corpus scale).
+    assert(!p.contains("Window"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("rename alias is plan-transparent: pushdown + pruning reach parquet under physical names") {
     import org.apache.spark.sql.connector.catalog.TableChange
     val loc = tmpDir("planreg_evo")

@@ -84,6 +84,16 @@ class SchemaEvolutionSpec extends SparkSpec {
       Seq(TableChange.deleteColumn(Array("nope"), true))) == base)
   }
 
+  test("evolve: column comments are metadata-only; type/nullability changes reject") {
+    val s = SchemaEvolution.evolve(base,
+      Seq(TableChange.updateColumnComment(Array("n_tok"), "token count")))
+    assert(s("n_tok").getComment().contains("token count"))
+    intercept[UnsupportedOperationException] {
+      SchemaEvolution.evolve(base,
+        Seq(TableChange.updateColumnType(Array("n_tok"), LongType)))
+    }
+  }
+
   test("evolve: rename keeps the physical name; rename-back drops the alias") {
     val s = SchemaEvolution.evolve(base,
       Seq(TableChange.renameColumn(Array("source"), "origin")))
