@@ -321,8 +321,11 @@ object Cluster {
       $"pid", math.max(1, acc))
       .sortWithinPartitions($"doc_id")
       // Project back to the TABLE's columns (drops the routing helpers);
-      // schema-driven so evolved (added) columns survive the rewrite.
-      .select(table.schema.fieldNames.toIndexedSeq.map(col): _*)
+      // schema-driven — from the PINNED parent snapshot, one read — so
+      // evolved (added) columns survive the rewrite.
+      .select(org.apache.spark.sql.types.DataType.fromJson(parent.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toIndexedSeq.map(col): _*)
 
     val out = table.writeDataFilesTo(clustered, s"data/$jobId-v${parent.version}",
       overwrite = true, sortBy = None)
@@ -444,8 +447,11 @@ object Cluster {
       $"pid", math.max(1, numPartitions))
       .sortWithinPartitions($"ckey")
       // Project back to the TABLE's columns (drops the routing helpers);
-      // schema-driven so evolved (added) columns survive the rewrite.
-      .select(table.schema.fieldNames.toIndexedSeq.map(col): _*)
+      // schema-driven — from the PINNED parent snapshot, one read — so
+      // evolved (added) columns survive the rewrite.
+      .select(org.apache.spark.sql.types.DataType.fromJson(parent.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toIndexedSeq.map(col): _*)
 
     // Version-scoped output dir: re-running a jobId after its commit must
     // never overwrite files the current snapshot references.

@@ -276,11 +276,18 @@ object Merge {
 
     // Align the source to the table's PHYSICAL schema first (sources
     // address evolved tables by LOGICAL names; missing added columns
-    // null-fill — SchemaEvolution.alignToPhysical), then dedup.
-    val physFields = table.schema.fieldNames.toIndexedSeq
+    // null-fill — SchemaEvolution.alignToPhysical), then dedup. The
+    // schema comes from the PINNED parent snapshot — one read; a
+    // concurrent ALTER mid-job can then never make the projection, the
+    // target read schema and the committed snapshot disagree (the
+    // commit's CAS still aborts on any concurrent version).
+    val physSchema = org.apache.spark.sql.types.DataType
+      .fromJson(parent.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val physFields = physSchema.fieldNames.toIndexedSeq
     val src = dedupFirstWins(
         graft.table.SchemaEvolution.alignToPhysical(
-          source, table.schema, keep = Seq(precedenceCol)),
+          source, physSchema, keep = Seq(precedenceCol)),
         precedenceCol)
       .select(physFields.map(col): _*)
       .cache()
@@ -340,8 +347,8 @@ object Merge {
 
     val target =
       if (decodeRels.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], table.schema)
-      else spark.read.schema(table.schema)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema)
+      else spark.read.schema(physSchema)
         .parquet(decodeRels.map(p => s"${table.location}/$p"): _*)
 
     // --- the upsert, compiled through Spark SQL ---

@@ -112,14 +112,15 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           case (Some(k), Some(v)) => k == v
           case _ => false
         })
+    val toPhys = translator(path)
     m.mergeCondition match {
       // Both sides must be the merge key — mapped through the rename
       // table so `ON t.id = s.id` works after RENAME doc_id TO id
       // (source columns mirror the target's logical names in the star
       // form this engine supports).
       case EqualTo(l, r)
-        if attrName(l).map(toPhysical(path, _)).contains("doc_id") &&
-           attrName(r).map(toPhysical(path, _)).contains("doc_id") => ()
+        if attrName(l).map(toPhys).contains("doc_id") &&
+           attrName(r).map(toPhys).contains("doc_id") => ()
       case other => bad(s"unsupported merge condition $other")
     }
     m.matchedActions match {
@@ -148,22 +149,37 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     * analysis time.
     */
   /** User SQL addresses LOGICAL column names; the DML machinery and the
-    * physical scan it binds against use PHYSICAL names — translate
-    * (identity until a RENAME COLUMN exists; unknown names pass through
-    * and fail loudly at bind time).
+    * physical scan it binds against use PHYSICAL names. Built ONCE per
+    * statement (one snapshot read), not per attribute. Names that are
+    * not logical names of the CURRENT schema are rejected when they
+    * collide with a storage name — otherwise a stale pre-rename name
+    * would silently keep working in DML while SELECT rejects it — and
+    * passed through (to fail loudly at bind) when they match nothing.
     */
-  private def toPhysical(path: String, name: String): String =
-    graft.table.SchemaEvolution
-      .logicalToPhysical(TokenTable.open(spark, path).schema)
-      .getOrElse(name.toLowerCase, name)
+  private def translator(path: String): String => String = {
+    val phys = TokenTable.open(spark, path).schema
+    val l2p = graft.table.SchemaEvolution.logicalToPhysical(phys)
+    val storageNames = phys.fieldNames.map(_.toLowerCase).toSet
+    (name: String) => l2p.get(name.toLowerCase) match {
+      case Some(p) => p
+      case None if storageNames(name.toLowerCase) =>
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "UNRESOLVED_COLUMN.WITH_SUGGESTION",
+          messageParameters = Map(
+            "objectName" -> s"`$name`",
+            "proposal" -> l2p.keys.map(k => s"`$k`").mkString(", ")))
+      case None => name // unknown: binding against the scan fails loudly
+    }
+  }
 
   private def convertDelete(condition: org.apache.spark.sql.catalyst.expressions.Expression,
       path: String): LogicalPlan = {
+    val toPhys = translator(path)
     val byName = condition.transform {
       case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
-        UnresolvedAttribute(Seq(toPhysical(path, a.name)))
+        UnresolvedAttribute(Seq(toPhys(a.name)))
       case a: UnresolvedAttribute =>
-        UnresolvedAttribute(Seq(toPhysical(path, a.nameParts.last)))
+        UnresolvedAttribute(Seq(toPhys(a.nameParts.last)))
     }
     val bound = TokenTable.open(spark, path).scan()
       .filter(org.apache.spark.sql.GraftSqlBridge.column(byName))
@@ -185,16 +201,17 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       path: String): LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
     import org.apache.spark.sql.GraftSqlBridge
+    val toPhys = translator(path)
     def keyName(e: org.apache.spark.sql.catalyst.expressions.Expression): String = e match {
-      case a: UnresolvedAttribute => toPhysical(path, a.nameParts.last)
-      case a: AttributeReference => toPhysical(path, a.name)
+      case a: UnresolvedAttribute => toPhys(a.nameParts.last)
+      case a: AttributeReference => toPhys(a.name)
       case other => throw new UnsupportedOperationException(
         s"UPDATE graft.`$path`: unsupported assignment target $other (plain columns only)")
     }
     def byName(e: org.apache.spark.sql.catalyst.expressions.Expression) = e.transform {
-      case a: AttributeReference => UnresolvedAttribute(Seq(toPhysical(path, a.name)))
+      case a: AttributeReference => UnresolvedAttribute(Seq(toPhys(a.name)))
       case a: UnresolvedAttribute =>
-        UnresolvedAttribute(Seq(toPhysical(path, a.nameParts.last)))
+        UnresolvedAttribute(Seq(toPhys(a.nameParts.last)))
     }
     val scan = TokenTable.open(spark, path).scan()
     // Bind each value expression by projecting it over the scan.

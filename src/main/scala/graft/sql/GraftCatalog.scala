@@ -147,23 +147,26 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 class GraftTable(val location: String, versionAsOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite {
 
-  private def snapshot(spark: SparkSession): Snapshot = {
-    val t = TokenTable.open(spark, location)
-    versionAsOf.map(t.snapshotAt).getOrElse(t.current)
-  }
+  /** Version pinned ONCE per table instance (Spark loads a fresh
+    * GraftTable per analysis): schema(), the scan builder's rename map
+    * and the executed scan all see the SAME snapshot — per-query
+    * snapshot isolation, and no repeated metadata-dir listings from the
+    * analyzer's many schema() calls.
+    */
+  private lazy val pinnedVersion: Long =
+    versionAsOf.getOrElse(Format.currentVersion(location))
+
+  private lazy val pinned: Snapshot = Format.readSnapshot(location, pinnedVersion)
+
+  private def snapshot(spark: SparkSession): Snapshot = pinned
 
   override def name(): String = s"graft.`$location`"
 
   /** The pinned snapshot's LOGICAL schema (post-evolution view). Read
     * straight from the snapshot JSON — no SparkSession needed.
     */
-  override def schema(): StructType = {
-    val v = versionAsOf.getOrElse(Format.currentVersion(location))
-    graft.table.SchemaEvolution.logicalSchema(
-      org.apache.spark.sql.types.DataType
-        .fromJson(Format.readSnapshot(location, v).schemaJson)
-        .asInstanceOf[StructType])
-  }
+  override def schema(): StructType =
+    graft.table.SchemaEvolution.logicalSchema(physicalSchema)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
@@ -210,12 +213,10 @@ class GraftTable(val location: String, versionAsOf: Option[Long])
   private[sql] def pinnedSnapshot(spark: SparkSession): Snapshot = snapshot(spark)
 
   /** The pinned snapshot's PHYSICAL schema (storage names). */
-  private[sql] def physicalSchema: StructType = {
-    val v = versionAsOf.getOrElse(Format.currentVersion(location))
+  private[sql] def physicalSchema: StructType =
     org.apache.spark.sql.types.DataType
-      .fromJson(Format.readSnapshot(location, v).schemaJson)
+      .fromJson(pinned.schemaJson)
       .asInstanceOf[StructType]
-  }
 }
 
 /** Scan builder: collects column pruning + pushable filters, then falls

@@ -1,7 +1,7 @@
 package graft.table
 
 import org.apache.spark.sql.connector.catalog.TableChange
-import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
 
 /** Schema evolution for TokenTables — ALTER TABLE ADD / DROP / RENAME
   * COLUMN without rewriting a single data file (the reference's own
@@ -56,12 +56,17 @@ object SchemaEvolution {
     else f.name
 
   /** The user-visible schema: physical fields re-labelled with their
-    * logical names (pushdown-relevant metadata stripped — the logical
-    * view is what Spark's analyzer binds against).
+    * logical names. Only the rename-mapping key is stripped; the rest
+    * of the metadata (column comments etc.) stays visible.
     */
   def logicalSchema(physical: StructType): StructType =
-    StructType(physical.fields.map(f =>
-      f.copy(name = logicalName(f), metadata = Metadata.empty)))
+    StructType(physical.fields.map { f =>
+      val meta =
+        if (f.metadata.contains(LogicalKey))
+          new MetadataBuilder().withMetadata(f.metadata).remove(LogicalKey).build()
+        else f.metadata
+      f.copy(name = logicalName(f), metadata = meta)
+    })
 
   /** True when no column was ever renamed — the common case, where the
     * logical view IS the physical scan and aliasing is skipped.
@@ -75,6 +80,16 @@ object SchemaEvolution {
 
   private def resolve(physical: StructType, logical: String): Option[StructField] =
     physical.fields.find(f => logicalName(f).equalsIgnoreCase(logical))
+
+  /** A NEW logical name must not equal any field's logical OR physical
+    * name: alignToPhysical resolves physical-name-first, so a logical
+    * name shadowing another column's storage name would silently bind
+    * producer data to the wrong column.
+    */
+  private def nameTaken(physical: StructType, name: String,
+      ignore: StructField): Boolean =
+    physical.fields.exists(f => (f ne ignore) &&
+      (logicalName(f).equalsIgnoreCase(name) || f.name.equalsIgnoreCase(name)))
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(msg)
 
@@ -102,8 +117,9 @@ object SchemaEvolution {
       if (add.position() != null)
         fail(s"ADD COLUMN $logical: explicit positions (FIRST/AFTER) are " +
           "not supported; new columns append at the end")
-      if (resolve(schema, logical).isDefined)
-        fail(s"ADD COLUMN $logical: a column with that name already exists")
+      if (nameTaken(schema, logical, ignore = null))
+        fail(s"ADD COLUMN $logical: the name collides with an existing " +
+          "column's logical or storage name")
       if (CoreFields.exists(_.equalsIgnoreCase(logical)))
         fail(s"ADD COLUMN $logical: the core column names " +
           s"(${CoreFields.mkString(", ")}) are reserved even after a core " +
@@ -137,8 +153,9 @@ object SchemaEvolution {
       val f = resolve(schema, logical).getOrElse(
         fail(s"RENAME COLUMN $logical: no such column"))
       val to = ren.newName()
-      if (resolve(schema, to).exists(_ ne f))
-        fail(s"RENAME COLUMN $logical TO $to: a column with that name already exists")
+      if (nameTaken(schema, to, ignore = f))
+        fail(s"RENAME COLUMN $logical TO $to: the name collides with an " +
+          "existing column's logical or storage name")
       if (!CoreFields.contains(f.name) && CoreFields.exists(_.equalsIgnoreCase(to)))
         fail(s"RENAME COLUMN $logical TO $to: the core column names are " +
           "reserved for the core columns themselves")

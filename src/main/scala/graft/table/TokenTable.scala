@@ -464,10 +464,19 @@ class TokenTable(val location: String, val spark: SparkSession) {
     require(version >= 0 && version < parent.version,
       s"rollback target v$version is not an ancestor of v${parent.version}")
     val target = snapshotAt(version) // missing/expired target fails loudly
+    // The target's SCHEMA restores along with its files: rolling back
+    // over an ALTER must undo the ALTER too, or a rolled-back DROP
+    // COLUMN would leave the restored bytes permanently invisible (and
+    // a rolled-back ADD would leave a phantom column the target never
+    // had). maxAttempts=1 is the schema-override contract; a lost CAS
+    // already aborts here regardless (keepManifests=Nil = rewrite
+    // shape), so retry semantics are unchanged.
     commit(Some(parent), "rollback",
       addManifests = target.manifests, keepManifests = Nil,
       removedPaths = Set.empty,
-      summary = Map("rollback-to" -> version.toString))
+      summary = Map("rollback-to" -> version.toString),
+      maxAttempts = 1,
+      schemaJsonOverride = Some(target.schemaJson))
   }
 
   /** ALTER TABLE: apply ADD/DROP/RENAME COLUMN changes as one

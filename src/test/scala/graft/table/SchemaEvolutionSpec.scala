@@ -318,6 +318,65 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("rollback restores the target's SCHEMA with its files") {
+    withCatalog {
+      val loc = tmpDir("evo_rb")
+      val t = TokenTable.create(spark, loc)
+      t.append(rows4(0 until 10)) // v1
+      val vBase = t.currentVersion
+      spark.sql(s"ALTER TABLE graft.`$loc` ADD COLUMN x INT") // v2
+      spark.sql(s"INSERT INTO graft.`$loc` VALUES ('rb_1', array(1), 1, 'web', 42)") // v3
+      // Roll back over the ALTER: the phantom column must vanish along
+      // with the post-ALTER rows.
+      t.rollbackTo(vBase)
+      assert(t.logicalSchema.fieldNames.toSeq ==
+        Seq("doc_id", "tokens", "n_tok", "source"))
+      assert(t.scanLogical().count() == 10)
+      // And rolling FORWARD to the evolved version restores the column
+      // and its data (nothing was rewritten).
+      t.rollbackTo(3)
+      assert(t.logicalSchema.fieldNames.contains("x"))
+      assert(spark.table(s"graft.`$loc`").filter($"x" === 42).count() == 1)
+    }
+  }
+
+  test("column comments survive to the user-visible schema; stale names reject after rename") {
+    withExt { s2 =>
+      val loc = tmpDir("evo_cmt")
+      val t = TokenTable.create(s2, loc)
+      t.append(rows4(0 until 5))
+      s2.sql(s"ALTER TABLE graft.`$loc` ALTER COLUMN n_tok COMMENT 'token count'")
+      assert(s2.table(s"graft.`$loc`").schema("n_tok").getComment()
+        .contains("token count"))
+      s2.sql(s"ALTER TABLE graft.`$loc` RENAME COLUMN source TO origin")
+      // The comment survives the rename map too.
+      assert(s2.table(s"graft.`$loc`").schema("n_tok").getComment()
+        .contains("token count"))
+      // DML through the STALE storage name must fail like SELECT does,
+      // not silently bind to the physical column.
+      intercept[Exception] {
+        s2.sql(s"DELETE FROM graft.`$loc` WHERE source = 'web'")
+      }
+      // The new name works.
+      s2.sql(s"DELETE FROM graft.`$loc` WHERE origin = 'nope'")
+      assert(s2.table(s"graft.`$loc`").count() == 5)
+    }
+  }
+
+  test("evolve: a new logical name may not shadow another column's storage name") {
+    val withAdd = SchemaEvolution.evolve(base,
+      Seq(TableChange.addColumn(Array("y"), StringType, true)))
+    val physY = withAdd.fields.last.name // y_<uuid8>
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.evolve(withAdd,
+        Seq(TableChange.renameColumn(Array("source"), physY)))
+    }
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.evolve(withAdd,
+        Seq(TableChange.addColumn(Array(physY), StringType, true)))
+    }
+  }
+
   test("ALTER never rebases a stale schema blob: lost CAS aborts, retry re-evolves") {
     val loc = tmpDir("evo_race")
     val t = TokenTable.create(spark, loc)
