@@ -271,4 +271,51 @@ class PropertySpec extends AnyFunSuite {
       got == model
     }, cases = 30)
   }
+
+  test("schema evolution: random ALTER sequences preserve naming invariants") {
+    import graft.table.SchemaEvolution
+    import org.apache.spark.sql.connector.catalog.TableChange
+    import org.apache.spark.sql.types._
+    val nameGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "Alpha", "n_tok",
+      "doc_id", "lang", "x1")
+    val changeGen: Gen[Int => Seq[String] => TableChange] =
+      Gen.oneOf(
+        Gen.const((i: Int) => (pool: Seq[String]) =>
+          TableChange.addColumn(Array(pool(i % pool.size)), StringType, true)),
+        Gen.const((i: Int) => (pool: Seq[String]) =>
+          TableChange.deleteColumn(Array(pool(i % pool.size)), true)),
+        Gen.const((i: Int) => (pool: Seq[String]) =>
+          TableChange.renameColumn(Array(pool(i % pool.size)),
+            pool((i * 7 + 3) % pool.size))))
+    val seqGen = for {
+      names <- Gen.listOfN(12, nameGen)
+      mk <- Gen.listOfN(12, changeGen)
+      idx <- Gen.listOfN(12, Gen.choose(0, 1000))
+    } yield mk.zip(idx).map { case (f, i) => f(i)(names) }
+    check("evolveInvariants", Prop.forAll(seqGen) { changes =>
+      // Apply the sequence one change at a time; a rejected change
+      // (guard fired) is simply skipped — the accepted prefix must
+      // ALWAYS satisfy the invariants.
+      val end = changes.foldLeft(graft.table.TokenTable.tokenSchema) { (acc, c) =>
+        try SchemaEvolution.evolve(acc, Seq(c))
+        catch { case _: IllegalArgumentException => acc }
+      }
+      val logicals = end.fields.map(f => SchemaEvolution.logicalName(f).toLowerCase)
+      val physicals = end.fieldNames.map(_.toLowerCase)
+      val core = Set("doc_id", "tokens", "n_tok", "source")
+      // 1. logical names unique; 2. physical names unique; 3. no
+      // logical name shadows a DIFFERENT column's physical name; 4. the
+      // four core physical columns always survive; 5. only core columns
+      // may bear a core logical name; 6. the logical map is a bijection
+      // onto the fields.
+      logicals.distinct.length == logicals.length &&
+        physicals.distinct.length == physicals.length &&
+        end.fields.forall(f => !end.fields.exists(g => (g ne f) &&
+          g.name.equalsIgnoreCase(SchemaEvolution.logicalName(f)))) &&
+        core.forall(physicals.contains) &&
+        end.fields.forall(f => !core.contains(
+          SchemaEvolution.logicalName(f).toLowerCase) || core.contains(f.name)) &&
+        SchemaEvolution.logicalToPhysical(end).size == end.fields.length
+    }, cases = 300)
+  }
 }

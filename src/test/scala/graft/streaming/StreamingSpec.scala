@@ -90,6 +90,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest keeps flowing through a mid-stream ALTER TABLE ADD COLUMN") {
+    val dir = tmpDir("stream-evo")
+    val t = TokenTable.create(spark, dir)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[RawMessage]
+    val q = StreamingIngest.start(t, source.toDS(), tmpDir("ckpt-evo"),
+      Trigger.ProcessingTime(0L))
+    try {
+      source.addData(msgs(0, 40): _*)
+      q.processAllAvailable()
+      assert(t.scan().count() == 40)
+      // A concurrent operator evolves the table between micro-batches:
+      // the stream's core-column appends are a SUBSET of the evolved
+      // physical schema, so nothing breaks and post-ALTER reads
+      // null-fill the new column for every streamed row.
+      t.alterSchema(Seq(
+        org.apache.spark.sql.connector.catalog.TableChange.addColumn(
+          Array("lang"), org.apache.spark.sql.types.StringType, true)))
+      source.addData(msgs(40, 90): _*)
+      q.processAllAvailable()
+      val scan = t.scanLogical()
+      assert(scan.count() == 90, "stream must keep appending after ALTER")
+      assert(scan.columns.contains("lang"))
+      assert(scan.filter(org.apache.spark.sql.functions.col("lang").isNull)
+        .count() == 90)
+    } finally q.stop()
+  }
+
   test("inline maintenance: small-file swamp auto-compacts between micro-batches") {
     val dir = tmpDir("stream-auto")
     val t = TokenTable.create(spark, dir)
