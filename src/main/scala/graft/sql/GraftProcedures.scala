@@ -48,7 +48,7 @@ object GraftProcedures {
 
   private lazy val all: Map[String, GraftProcedure] = Seq(
     CompactProc, ClusterProc, ExpireProc, SnapshotsProc, FilesProc,
-    RollbackProc)
+    RollbackProc, SchemaHistoryProc)
     .map(p => p.name -> p).toMap
 
   private def in(name: String, dt: DataType): ProcedureParameter =
@@ -239,6 +239,42 @@ object GraftProcedures {
           InternalRow(s.version, s.parentVersion,
             UTF8String.fromString(s.operation), s.timestampMs, s.manifests.size)
         }
+    }
+  }
+
+  /** The operational view schema evolution needs: which version changed
+    * the schema to what — so an operator can pick the right rollback
+    * target after a bad ALTER without replaying snapshot JSONs by hand.
+    */
+  private object SchemaHistoryProc extends GraftProcedure(
+    "schema_history",
+    "List each live snapshot's user-visible schema: version, operation, " +
+      "schema DDL string, and whether it changed from the parent",
+    Seq(in("table", StringType)),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("schema", StringType, nullable = false),
+      StructField("changed", BooleanType, nullable = false)))) {
+    override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
+      val loc = utf8(in, 0)
+      val head = Format.currentVersion(loc)
+      if (head < 0) throw new IllegalArgumentException(s"no table at $loc")
+      val live = (0L to head)
+        .filter(v => java.nio.file.Files.exists(Format.versionFile(loc, v)))
+        .map(v => Format.readSnapshot(loc, v))
+      live.map { s =>
+        val ddl = graft.table.SchemaEvolution.logicalSchema(
+          org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+            .asInstanceOf[StructType]).toDDL
+        // "changed" keys on the RAW schemaJson vs the live parent (an
+        // expired parent compares against the nearest live ancestor =
+        // the previous live row, which is what the listing shows).
+        val prev = live.takeWhile(_.version < s.version).lastOption
+        InternalRow(s.version, UTF8String.fromString(s.operation),
+          UTF8String.fromString(ddl),
+          prev.forall(_.schemaJson != s.schemaJson))
+      }
     }
   }
 }

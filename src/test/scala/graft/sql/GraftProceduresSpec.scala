@@ -92,6 +92,25 @@ class GraftProceduresSpec extends SparkSpec {
     }
   }
 
+  test("CALL system.schema_history tracks evolution and flags the changing versions") {
+    withCatalog {
+      val loc = seeded("proc_schemahist", rows = 40, commits = 2)
+      spark.sql(s"ALTER TABLE graft.`$loc` ADD COLUMN lang STRING")
+      spark.sql(s"ALTER TABLE graft.`$loc` RENAME COLUMN lang TO language")
+      val rows = spark.sql(
+        s"CALL graft.system.schema_history('$loc')").collect()
+      // v0 create, v1-v2 appends, v3 add, v4 rename.
+      assert(rows.length == 5)
+      val byVersion = rows.map(r => r.getLong(0) -> r).toMap
+      assert(byVersion(0L).getBoolean(3), "v0 introduces the schema")
+      assert(!byVersion(1L).getBoolean(3) && !byVersion(2L).getBoolean(3),
+        "appends do not change the schema")
+      assert(byVersion(3L).getBoolean(3) && byVersion(3L).getString(2).contains("lang"))
+      assert(byVersion(4L).getBoolean(3) && byVersion(4L).getString(2).contains("language"))
+      assert(!byVersion(2L).getString(2).contains("lang"))
+    }
+  }
+
   test("CALL system.cluster with each curve; bad curve fails loudly") {
     withCatalog {
       val loc = seeded("proc_cluster")
