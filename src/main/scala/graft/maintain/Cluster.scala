@@ -323,9 +323,7 @@ object Cluster {
       // Project back to the TABLE's columns (drops the routing helpers);
       // schema-driven — from the PINNED parent snapshot, one read — so
       // evolved (added) columns survive the rewrite.
-      .select(org.apache.spark.sql.types.DataType.fromJson(parent.schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-        .fieldNames.toIndexedSeq.map(col): _*)
+      .select(graft.table.Format.schemaOf(parent).fieldNames.toIndexedSeq.map(col): _*)
 
     val out = table.writeDataFilesTo(clustered, s"data/$jobId-v${parent.version}",
       overwrite = true, sortBy = None)
@@ -449,9 +447,7 @@ object Cluster {
       // Project back to the TABLE's columns (drops the routing helpers);
       // schema-driven — from the PINNED parent snapshot, one read — so
       // evolved (added) columns survive the rewrite.
-      .select(org.apache.spark.sql.types.DataType.fromJson(parent.schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-        .fieldNames.toIndexedSeq.map(col): _*)
+      .select(graft.table.Format.schemaOf(parent).fieldNames.toIndexedSeq.map(col): _*)
 
     // Version-scoped output dir: re-running a jobId after its commit must
     // never overwrite files the current snapshot references.

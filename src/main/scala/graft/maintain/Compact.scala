@@ -256,7 +256,10 @@ object Compact {
             // stats stay selective after consolidation.
             def reencode(): Seq[DataFile] = {
               val in = inputPaths.map(p => s"${table.location}/$p")
-              val df = spark.read.schema(table.schema).parquet(in: _*)
+              // Parent-pinned schema: a mid-job ALTER never changes what
+              // this bin re-encodes (the commit CAS aborts it anyway).
+              val df = spark.read.schema(graft.table.Format.schemaOf(parent))
+                .parquet(in: _*)
               // A bin fits targetBytes by construction: single output
               // file, zero shuffle.
               table.writeDataFilesTo(

@@ -184,7 +184,8 @@ object Delete {
       else {
         val paths = decodeRels.map(p => s"${table.location}/$p")
         import org.apache.spark.sql.functions.{coalesce, lit}
-        val survivors = spark.read.schema(table.schema).parquet(paths: _*)
+        val survivors = spark.read.schema(graft.table.Format.schemaOf(parent))
+          .parquet(paths: _*)
           .filter(!coalesce(predicate, lit(false)))
         table.writeDataFilesTo(survivors, s"data/$jobId-v${parent.version}",
           overwrite = true, sortBy = Some("doc_id"))
@@ -268,7 +269,8 @@ object Delete {
       // No broadcast hint: beyond the inline threshold the list's size
       // is unbounded, so AQE picks broadcast vs shuffled anti join from
       // the measured build side.
-      val survivors = spark.read.schema(table.schema).parquet(paths: _*)
+      val survivors = spark.read.schema(graft.table.Format.schemaOf(parent))
+          .parquet(paths: _*)
         .join(distinctIds, Seq("doc_id"), "left_anti")
       val out = table.writeDataFilesTo(survivors, s"data/$jobId-v${parent.version}",
         overwrite = true, sortBy = Some("doc_id"))

@@ -281,9 +281,7 @@ object Merge {
     // concurrent ALTER mid-job can then never make the projection, the
     // target read schema and the committed snapshot disagree (the
     // commit's CAS still aborts on any concurrent version).
-    val physSchema = org.apache.spark.sql.types.DataType
-      .fromJson(parent.schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val physSchema = graft.table.Format.schemaOf(parent)
     val physFields = physSchema.fieldNames.toIndexedSeq
     val src = dedupFirstWins(
         graft.table.SchemaEvolution.alignToPhysical(

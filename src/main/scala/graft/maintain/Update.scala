@@ -55,7 +55,11 @@ object Update {
       predicate: Column, jobId: String): Result = {
     val spark = table.spark
     val parent = table.current
-    val assignable = table.schema.fieldNames.toSet - "doc_id"
+    // Schema pinned to the parent snapshot — one read; a concurrent
+    // ALTER mid-job can never make planning, the rewrite projection and
+    // the committed snapshot disagree (the CAS still aborts it).
+    val physSchema = graft.table.Format.schemaOf(parent)
+    val assignable = physSchema.fieldNames.toSet - "doc_id"
     assignments.foreach { case (name, _) =>
       require(assignable.contains(name),
         s"UPDATE cannot assign `$name` (doc_id is the clustering key; " +
@@ -77,7 +81,7 @@ object Update {
       .schema.fields.map(_.dataType)
     val typed: Seq[(String, Column)] =
       assignments.zip(valueTypes).map { case ((name, v), src) =>
-        val dst = table.schema(name).dataType
+        val dst = physSchema(name).dataType
         if (src == dst) name -> v
         else {
           import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
@@ -123,7 +127,7 @@ object Update {
       return Result(parent, 0, untouched + rw.size, 0L, 0L)
 
     val paths = plan.decodeRels.map(p => s"${table.location}/$p")
-    val touched = spark.read.schema(table.schema).parquet(paths: _*)
+    val touched = spark.read.schema(physSchema).parquet(paths: _*)
     // Matched-row count over the touched files only (they are about to
     // be re-read for the rewrite; at most the touch set is scanned
     // twice, never the table).
@@ -135,7 +139,7 @@ object Update {
     // assignment evaluates). The derived n_tok re-evaluates the tokens
     // RHS — also over the ORIGINAL row, so the pair stays consistent.
     val byName = effective.toMap
-    val rewritten = touched.select(table.schema.fieldNames.toIndexedSeq.map { n =>
+    val rewritten = touched.select(physSchema.fieldNames.toIndexedSeq.map { n =>
       byName.get(n) match {
         case Some(v) => F.when(predicate, v).otherwise(F.col(n)).as(n)
         case None => F.col(n)

@@ -67,9 +67,7 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         case Changes(a, b) =>
           graft.table.SchemaEvolution.aliasToLogical(
             t.scanChanges(a.toLong, b.toLong),
-            org.apache.spark.sql.types.DataType
-              .fromJson(t.snapshotAt(b.toLong).schemaJson)
-              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            graft.table.Format.schemaOf(t.snapshotAt(b.toLong)))
             .queryExecution.analyzed
         case Versioned(v) =>
           t.scanLogical(t.snapshotAt(v.toLong)).queryExecution.analyzed

@@ -213,10 +213,7 @@ class GraftTable(val location: String, versionAsOf: Option[Long])
   private[sql] def pinnedSnapshot(spark: SparkSession): Snapshot = snapshot(spark)
 
   /** The pinned snapshot's PHYSICAL schema (storage names). */
-  private[sql] def physicalSchema: StructType =
-    org.apache.spark.sql.types.DataType
-      .fromJson(pinned.schemaJson)
-      .asInstanceOf[StructType]
+  private[sql] def physicalSchema: StructType = Format.schemaOf(pinned)
 }
 
 /** Scan builder: collects column pruning + pushable filters, then falls

@@ -116,6 +116,11 @@ object Format {
   def readSnapshot(tableDir: String, v: Long): Snapshot =
     fromJson(Files.readString(versionFile(tableDir, v)))
 
+  /** The snapshot's physical schema, parsed. */
+  def schemaOf(s: Snapshot): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
   /** Atomic, exclusive publish of v<N+1>.json.
     *
     * `Files.move(..., ATOMIC_MOVE)` maps to rename(2), which *replaces*

@@ -20,8 +20,7 @@ class TokenTable(val location: String, val spark: SparkSession) {
   def current: Snapshot = Format.readSnapshot(location, currentVersion)
   def snapshotAt(v: Long): Snapshot = Format.readSnapshot(location, v)
 
-  def schema: StructType =
-    DataType.fromJson(current.schemaJson).asInstanceOf[StructType]
+  def schema: StructType = Format.schemaOf(current)
 
   /** The user-visible schema: physical fields under their logical
     * (possibly renamed) names. Identical to [[schema]] until a RENAME
@@ -116,8 +115,7 @@ class TokenTable(val location: String, val spark: SparkSession) {
     * filters and pruning straight through.
     */
   def scanLogical(s: Snapshot): DataFrame =
-    SchemaEvolution.aliasToLogical(scan(s),
-      DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+    SchemaEvolution.aliasToLogical(scan(s), Format.schemaOf(s))
 
   def scanLogical(): DataFrame = scanLogical(current)
 
@@ -130,7 +128,7 @@ class TokenTable(val location: String, val spark: SparkSession) {
   def scanExcluding(s: Snapshot, excluded: Set[String]): DataFrame = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-    val dataSchema = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+    val dataSchema = Format.schemaOf(s)
     val classicSpark = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val relation = HadoopFsRelation(
       location = new ManifestFileIndex(spark, location, s, excluded),
@@ -491,7 +489,7 @@ class TokenTable(val location: String, val spark: SparkSession) {
     var attempts = 5
     while (true) {
       val parent = current
-      val phys = DataType.fromJson(parent.schemaJson).asInstanceOf[StructType]
+      val phys = Format.schemaOf(parent)
       val evolved = SchemaEvolution.evolve(phys, changes)
       try {
         return commit(Some(parent), "alter-schema",
