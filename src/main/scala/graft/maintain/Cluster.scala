@@ -386,14 +386,17 @@ object Cluster {
     // missing from a 200k sample is itself rare.
     val fraction = math.min(1.0, 200000.0 / math.max(1L, totalRows))
     val sampled = timing("sample") {
-      table.scan().select($"doc_id", $"source", $"n_tok")
+      table.scan(parent).select($"doc_id", $"source", $"n_tok")
         .sample(withReplacement = false, fraction, seed = 42L)
         .collect()
     }
     val dict = (sampled.map(_.getString(1)).toSet ++ inv.sourceBounds)
       .toSeq.sorted.zipWithIndex.toMap
     val maxNtok = inv.maxNtok
-    val keyed = table.scan().withColumn("ckey", curveKey(curve, dict, maxNtok))
+    // PINNED scan: read the snapshot planning saw, like runByDocId —
+    // a concurrent commit then aborts at the CAS instead of feeding a
+    // newer snapshot into a rewrite projected under the parent schema.
+    val keyed = table.scan(parent).withColumn("ckey", curveKey(curve, dict, maxNtok))
 
     // Re-derive sampled curve keys through Spark (same expression the
     // full scan uses — never a driver-side reimplementation of

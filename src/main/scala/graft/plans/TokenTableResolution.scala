@@ -110,7 +110,16 @@ case class TokenTableResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           case (Some(k), Some(v)) => k == v
           case _ => false
         })
-    val toPhys = translator(path)
+    // ON-clause key validation is LENIENT about stale/storage-name
+    // spellings, unlike DELETE/UPDATE's strict translator: the
+    // condition is never bound (the command always merges on the
+    // physical doc_id key), and one side of the EqualTo is the SOURCE
+    // relation's own column — which may legitimately be named doc_id
+    // even when the target renamed its key — so strict rejection here
+    // would break valid statements it cannot distinguish.
+    val l2p = graft.table.SchemaEvolution
+      .logicalToPhysical(TokenTable.open(spark, path).schema)
+    def toPhys(n: String): String = l2p.getOrElse(n.toLowerCase, n)
     m.mergeCondition match {
       // Both sides must be the merge key — mapped through the rename
       // table so `ON t.id = s.id` works after RENAME doc_id TO id

@@ -85,9 +85,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val p = path(ident)
     if (!TokenTable.exists(p)) throw new NoSuchTableException(ident)
     val tsMs = timestamp / 1000L
-    val head = Format.currentVersion(p)
-    val v = (0L to head)
-      .filter(v => java.nio.file.Files.exists(Format.versionFile(p, v)))
+    val v = Format.liveVersions(p)
       .map(v => v -> Format.readSnapshot(p, v).timestampMs)
       .filter(_._2 <= tsMs)
       .lastOption
@@ -158,15 +156,19 @@ class GraftTable(val location: String, versionAsOf: Option[Long])
 
   private lazy val pinned: Snapshot = Format.readSnapshot(location, pinnedVersion)
 
-  private def snapshot(spark: SparkSession): Snapshot = pinned
+  // Parsed ONCE per table instance: the analyzer calls schema() many
+  // times per query, and a JSON parse per call would undo the pinning
+  // win.
+  private lazy val physSchema: StructType = Format.schemaOf(pinned)
+  private lazy val logSchema: StructType =
+    graft.table.SchemaEvolution.logicalSchema(physSchema)
 
   override def name(): String = s"graft.`$location`"
 
   /** The pinned snapshot's LOGICAL schema (post-evolution view). Read
     * straight from the snapshot JSON — no SparkSession needed.
     */
-  override def schema(): StructType =
-    graft.table.SchemaEvolution.logicalSchema(physicalSchema)
+  override def schema(): StructType = logSchema
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
@@ -207,13 +209,13 @@ class GraftTable(val location: String, versionAsOf: Option[Long])
     * pinned snapshot.
     */
   private[sql] def innerScan(spark: SparkSession): DataFrame =
-    TokenTable.open(spark, location).scanLogical(snapshot(spark))
+    TokenTable.open(spark, location).scanLogical(pinned)
 
   /** The pinned snapshot (for metadata-only answers). */
-  private[sql] def pinnedSnapshot(spark: SparkSession): Snapshot = snapshot(spark)
+  private[sql] def pinnedSnapshot: Snapshot = pinned
 
   /** The pinned snapshot's PHYSICAL schema (storage names). */
-  private[sql] def physicalSchema: StructType = Format.schemaOf(pinned)
+  private[sql] def physicalSchema: StructType = physSchema
 }
 
 /** Scan builder: collects column pruning + pushable filters, then falls
@@ -309,7 +311,7 @@ class GraftScanBuilder(table: GraftTable) extends ScanBuilder
     var minDoc: String = null; var maxDoc: String = null; var docOk = true
     var minSrc: String = null; var maxSrc: String = null; var srcOk = true
     var minN = Int.MaxValue; var maxN = Int.MinValue; var nOk = true
-    t.filesStream(table.pinnedSnapshot(spark)).foreach { f =>
+    t.filesStream(table.pinnedSnapshot).foreach { f =>
       count += f.rows; sumN += f.sumNtok
       if (f.minDocId == null || f.maxDocId == null) docOk = false
       else {

@@ -228,12 +228,11 @@ object GraftProcedures {
       StructField("manifests", IntegerType, nullable = false)))) {
     override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
       val loc = utf8(in, 0)
-      val head = Format.currentVersion(loc)
       // Fail loudly like every other procedure (TokenTable.open's
       // guard), not "0 snapshots" for a mistyped path.
-      if (head < 0) throw new IllegalArgumentException(s"no table at $loc")
-      (0L to head)
-        .filter(v => java.nio.file.Files.exists(Format.versionFile(loc, v)))
+      if (Format.currentVersion(loc) < 0)
+        throw new IllegalArgumentException(s"no table at $loc")
+      Format.liveVersions(loc)
         .map { v =>
           val s = Format.readSnapshot(loc, v)
           InternalRow(s.version, s.parentVersion,
@@ -258,15 +257,12 @@ object GraftProcedures {
       StructField("changed", BooleanType, nullable = false)))) {
     override protected def run(spark: SparkSession, in: InternalRow): Seq[InternalRow] = {
       val loc = utf8(in, 0)
-      val head = Format.currentVersion(loc)
-      if (head < 0) throw new IllegalArgumentException(s"no table at $loc")
-      val live = (0L to head)
-        .filter(v => java.nio.file.Files.exists(Format.versionFile(loc, v)))
-        .map(v => Format.readSnapshot(loc, v))
+      if (Format.currentVersion(loc) < 0)
+        throw new IllegalArgumentException(s"no table at $loc")
+      val live = Format.liveVersions(loc).map(v => Format.readSnapshot(loc, v))
       live.map { s =>
-        val ddl = graft.table.SchemaEvolution.logicalSchema(
-          org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
-            .asInstanceOf[StructType]).toDDL
+        val ddl = graft.table.SchemaEvolution
+          .logicalSchema(Format.schemaOf(s)).toDDL
         // "changed" keys on the RAW schemaJson vs the live parent (an
         // expired parent compares against the nearest live ancestor =
         // the previous live row, which is what the listing shows).

@@ -116,6 +116,14 @@ object Format {
   def readSnapshot(tableDir: String, v: Long): Snapshot =
     fromJson(Files.readString(versionFile(tableDir, v)))
 
+  /** Live (non-expired) snapshot versions, ascending — the shared
+    * enumeration behind time travel and the history procedures.
+    */
+  def liveVersions(tableDir: String): Seq[Long] = {
+    val head = currentVersion(tableDir)
+    (0L to head).filter(v => Files.exists(versionFile(tableDir, v)))
+  }
+
   /** The snapshot's physical schema, parsed. */
   def schemaOf(s: Snapshot): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
