@@ -167,6 +167,21 @@ class GraftCatalogSpec extends SparkSpec {
       "a conjunct with an untranslatable side must not be pushed")
   }
 
+  test("aggregate pushdown answers from the PINNED snapshot under VERSION AS OF") {
+    withCatalog {
+      val loc = tmpDir("cat_agg_tt")
+      val t = TokenTable.create(spark, loc)
+      t.append(TokenGen.asTokenRows(TokenGen.generate(spark, 100, numPartitions = 2)))
+      t.append(TokenGen.asTokenRows(TokenGen.generate(
+        spark, 50, idOffset = 100L, numPartitions = 1)))
+      // Time-travel metadata aggregate: v1's stats, not the head's.
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft.`$loc` VERSION AS OF 1").head().getLong(0) == 100L)
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft.`$loc`").head().getLong(0) == 150L)
+    }
+  }
+
   test("catalog + extensions session: plain spark.sql MERGE INTO, no manual rule") {
     val base = spark // force shared-session init before we detach
     SparkSession.clearActiveSession()
