@@ -271,9 +271,9 @@ object Bench {
         "dedup_ngram_jaccard", "sim_bruteforce_topk", "sim_lsh_ann",
         "sim_ivf_ann", "dedup_embedding", "multimodal_features",
         "dedup_clusters", "corpus_pack", "corpus_quality_filter",
-        "dedup_lines", "corpus_vocab", "text_scrub", "text_line_dedup_doc",
-        "text_repetition", "text_lm_perplexity", "corpus_domain_mix",
-        "corpus_pipeline_e2e")) {
+        "dedup_lines", "dedup_substring", "corpus_vocab", "text_scrub",
+        "text_line_dedup_doc", "text_repetition", "text_lm_perplexity",
+        "corpus_domain_mix", "corpus_pipeline_e2e")) {
       timed(name) {
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>
