@@ -87,7 +87,22 @@ object Cluster {
     * collector says 32n candidates cover all n residues with
     * overwhelming probability, and the span quadruples until they do.
     */
+  /** Deterministic per n (pure function of Murmur3), so the per-session
+    * memo is safe: repeat exchanges at the same width (merge after
+    * cluster, iterative maintenance) skip the probe jobs entirely.
+    */
+  private val preimageMemo =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+
   def hashPreimages(spark: SparkSession, n: Int): Array[Long] = {
+    val memo = preimageMemo.get(n)
+    if (memo != null) return memo
+    val computed = computePreimages(spark, n)
+    preimageMemo.putIfAbsent(n, computed)
+    computed
+  }
+
+  private def computePreimages(spark: SparkSession, n: Int): Array[Long] = {
     import spark.implicits._
     require(n >= 1, s"need at least one partition, got $n")
     var span = 32L * n

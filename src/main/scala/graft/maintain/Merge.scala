@@ -138,6 +138,15 @@ object Merge {
     */
   val MaxGapPartitions: Int = 64
 
+  /** Source-row cap under which the anti join's key set broadcasts
+    * (conf `graft.merge.broadcastKeyRows` overrides). Keys-only build
+    * rows are ~50 bytes framed, so the default builds a ~100MB hash
+    * relation — comfortably inside executor memory at any deployment
+    * size, far under Spark's 8GB broadcast cap, and it removes the
+    * full-table exchange+sort from the rewrite (guide §3.1).
+    */
+  val DefaultBroadcastKeyRows: Long = 2000000L
+
   /** Cap on the source-key sample mixed into the extent segmentation
     * (bounds the extent arrays the classifiers broadcast and binary-
     * search; 4k splits resolve any realistic cluster structure while
@@ -349,21 +358,35 @@ object Merge {
       else spark.read.schema(physSchema)
         .parquet(decodeRels.map(p => s"${table.location}/$p"): _*)
 
-    // --- the upsert, compiled through Spark SQL ---
-    // Only HOT rows (hit segments) can match; COLD rows of touched
-    // files provably match no source key. ONE pass over the touched
-    // data: the anti join's key is NULL for cold rows (null never
-    // equals, so they always survive) — two filtered branches would
-    // decode every touched file twice. The two classes land in SEPARATE
-    // files (partitionBy on __part) so the rewrite's cold output keeps
-    // tight doc_id stats: the next merge over the same key range prunes
-    // the cold files entirely and its rewrite bytes track the hit
-    // ranges instead of whole original files.
+    // --- the upsert ---
+    // JOIN STRATEGY (optimization guide §3.1): the anti join only needs
+    // the source's doc_id KEYS on its build side — ~tens of bytes per
+    // source row regardless of payload width. When the batch is bounded
+    // (srcRows <= graft.merge.broadcastKeyRows, default 2M keys ~100MB
+    // built), BROADCAST the key set: the touched data is then NEVER
+    // shuffled (the previous sort-merge plan exchanged and sorted every
+    // decoded byte — measured 2.4GB of shuffle for a 1.2GB table at
+    // bench scale — just to match ~15MB of keys). Catalyst won't pick
+    // this itself: the temp-view source's size estimate exceeds
+    // autoBroadcastJoinThreshold long before the key projection does.
+    // Unbounded batches keep the sort-merge path below, whose composite
+    // hot/cold key handles shuffle skew.
+    val bcKeyRowsCap = spark.conf.getOption("graft.merge.broadcastKeyRows")
+      .map(_.toLong).getOrElse(DefaultBroadcastKeyRows)
+    val useBroadcast = srcRows <= bcKeyRowsCap
     val tv = s"graft_merge_target_${jobId.replaceAll("[^A-Za-z0-9_]", "_")}"
     val sv = s"graft_merge_source_${jobId.replaceAll("[^A-Za-z0-9_]", "_")}"
-    src.createOrReplaceTempView(sv)
+    if (!useBroadcast) src.createOrReplaceTempView(sv)
     val merged =
-      if (split) {
+      if (useBroadcast) {
+        // No hot/cold row classifier needed: with a broadcast build
+        // side every row pays one hash probe — the classifier existed
+        // to keep cold rows out of the *shuffled* join and to bound its
+        // skew, both moot without an exchange.
+        target.join(broadcast(src.select($"doc_id")), Seq("doc_id"), "left_anti")
+          .select(physFields.map(col): _*)
+          .unionByName(src.select(physFields.map(col): _*))
+      } else if (split) {
         // Row-level hot test by EXTENT intersection (same tightness as
         // the file/row-group test): idx = #(extent lows <= doc_id) via
         // the codegen binary search; hot iff the greatest such extent
@@ -422,10 +445,67 @@ object Merge {
              |SELECT $colsP FROM $sv""".stripMargin)
       }
 
+    // Placement of the rewrite output (broadcast path): without the
+    // sort-merge exchange the map-only rewrite would emit one file per
+    // scan task, each spanning its task's doc_id range — post-curve-
+    // clustering that is the FULL keyspace per file, so every later
+    // doc_id-keyed operation (ranged DELETE, the next merge) grazes
+    // every rewrite output. One explicit range exchange on sampled
+    // doc_id boundaries (the runByDocId machinery: exact hash-preimage
+    // placement, no RangePartitioning double-execution) restores tight
+    // per-file [min,max] — measured at bench scale it turns the
+    // following 2%-range delete from a ~1.1GB near-full rewrite into a
+    // pruned few-file one. The exchange moves only the DECODED bytes
+    // (cost tracks the update footprint, like the rest of the rewrite).
+    // Measured head-to-head at bench scale (MergeProbe, adjacent runs):
+    // exchange = merge 12.3-12.8s / next-delete 1.3s / 60 files;
+    // map-only partitionBy(8 ranges) = 11.8-17.0s / 1.6-2.4s / 568 files;
+    // no placement = 8.4s merge but 5.3-7.8s next-delete (full-range
+    // files defeat all later doc_id pruning); old sort-merge join =
+    // 23.2-23.5s / 6.6s. Range exchange is the overall winner and
+    // matches Iceberg's write.distribution-mode=range rationale
+    // (guide §6): one shuffle buys prunable layout AND right-sized files.
+    val placement = spark.conf.getOption("graft.merge.placement")
+      .getOrElse("exchange")
+    def rangeBounds(nOut: Int): Array[String] = {
+      val fraction = math.min(1.0, 200000.0 / math.max(1L, touchedRows))
+      val sampleKeys =
+        if (nOut <= 1 || decodeRels.isEmpty) Array.empty[String]
+        else target.select($"doc_id")
+          .sample(withReplacement = false, fraction, seed = 42L)
+          .as[String].collect().sorted(Search.utf8Ordering)
+      if (sampleKeys.isEmpty) Array.empty
+      else (1 until nOut)
+        .map(i => sampleKeys(
+          (i.toLong * sampleKeys.length / nOut).toInt.min(sampleKeys.length - 1)))
+        .distinct.toArray
+    }
+    val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
+    val (rewriteDF, partCols) =
+      if (!useBroadcast) (merged, if (split) Seq("__part") else Nil)
+      else placement match {
+        case "none" => (merged, Nil)
+        case "exchange" =>
+          val nOut = math.max(1L, math.min(
+            (decodedBytes + maxPart - 1) / math.max(1L, maxPart),
+            4L * spark.sessionState.conf.numShufflePartitions)).toInt
+          val bounds = rangeBounds(nOut)
+          if (bounds.isEmpty) (merged, Nil)
+          else (Cluster.exchangeByPid(merged,
+            SearchOps.bucketOfStr(col("doc_id"), bounds), bounds.length + 1), Nil)
+        case _ => // "partition": map-only, dynamic range-partition files
+          val groups = spark.conf.getOption("graft.merge.rangeGroups")
+            .map(_.toInt).getOrElse(8)
+          val bounds = rangeBounds(groups)
+          if (bounds.isEmpty) (merged, Nil)
+          else (merged.withColumn("__part",
+            concat(lit("r"), SearchOps.bucketOfStr(col("doc_id"), bounds)
+              .cast("string"))), Seq("__part"))
+      }
     // Version-scoped output dir (same rationale as Compact/Cluster).
-    val out = table.writeDataFilesTo(merged, s"data/$jobId-v${parent.version}",
+    val out = table.writeDataFilesTo(rewriteDF, s"data/$jobId-v${parent.version}",
       overwrite = true, sortBy = Some("doc_id"),
-      partitionBy = if (split) Seq("__part") else Nil)
+      partitionBy = partCols)
     Lineage.completeTask(table, Lineage.TaskRecord(
       jobId, "merge", touched.map(_.path), out,
       rows = out.map(_.rows).sum, tokenCount = out.map(_.sumNtok).sum,
@@ -447,8 +527,10 @@ object Merge {
         "cold-copied-bytes" -> coldFiles.map(_.bytes).sum.toString,
         "fully-cold-files" -> fullyCold.size.toString))
     src.unpersist()
-    spark.catalog.dropTempView(tv)
-    spark.catalog.dropTempView(sv)
+    if (!useBroadcast) {
+      spark.catalog.dropTempView(tv)
+      spark.catalog.dropTempView(sv)
+    }
     // Hot extracts served only the rewrite job: drop them now (orphan GC
     // would also collect them, but leaving temporaries to GC hides bugs).
     if (rgSplits.exists(s => !s.allCold && s.coldFiles.nonEmpty)) {

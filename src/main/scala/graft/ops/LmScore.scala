@@ -82,12 +82,16 @@ object LmScore {
 
     // Capped vocabulary: top-V by (count desc, word asc) — total order,
     // deterministic cut. TakeOrdered: the global sort never materializes.
+    // Materialized (<= V rows): vocab otherwise recomputes its full
+    // corpus word-explode + aggregate THREE times — once for the vsize
+    // count and once per broadcast build (v1, v2).
     val vocab = ws
       .select(explode(col("ws")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word"))
       .limit(vocabCap)
       .select(col("word"))
+      .localCheckpoint(true)
     // Successor-space size for add-one smoothing: |vocab| + 1 (unk).
     // O(1)-row driver action on a capped aggregate.
     val vsize = vocab.count() + 1L
