@@ -187,6 +187,15 @@ object Delete {
         val survivors = spark.read.schema(graft.table.Format.schemaOf(parent))
           .parquet(paths: _*)
           .filter(!coalesce(predicate, lit(false)))
+        sys.env.get("GRAFT_PLAN_DUMP").foreach { d =>
+          val p = java.nio.file.Paths.get(d, "ns_delete_rewrite.txt")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.writeString(p,
+            s"decode files: ${decodeRels.size} of ${untouched + drop.size + rw.size}" +
+              s" total; decoded bytes: $decodedBytes\n" +
+              survivors.queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode))
+        }
         table.writeDataFilesTo(survivors, s"data/$jobId-v${parent.version}",
           overwrite = true, sortBy = Some("doc_id"))
       }

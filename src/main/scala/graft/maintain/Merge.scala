@@ -480,6 +480,31 @@ object Merge {
           (i.toLong * sampleKeys.length / nOut).toInt.min(sampleKeys.length - 1)))
         .distinct.toArray
     }
+    // Extent-aligned split points: the source-key extents, coarsened to
+    // at most `cap` clusters, each contributing [lo, succ(hi)) bounds —
+    // so HOT key ranges land in their own output files and every cold
+    // output's [min,max] provably excludes them. Without these, a small
+    // rewrite (one quantile range) emits one file spanning hot and cold
+    // rows alike, and the NEXT merge/delete over the same keys re-grazes
+    // all of it (the tight-cold-stats invariant the round-4/5 split
+    // partitioning established; PruningSpec pins it). succ(hi) =
+    // hi + ' ' (a strict upper bound just above the extent's last
+    // key: a shorter string precedes its extensions in binary order).
+    def extentClusterBounds(cap: Int): Array[String] = {
+      val n = prune.extLo.length
+      if (n == 0) Array.empty
+      else {
+        val step = math.max(1, (n + cap - 1) / cap)
+        val b = Array.newBuilder[String]
+        var i = 0
+        while (i < n) {
+          b += prune.extLo(i)
+          b += prune.extHi(math.min(n - 1, i + step - 1)) + " "
+          i += step
+        }
+        b.result()
+      }
+    }
     val maxPart = spark.sessionState.conf.filesMaxPartitionBytes
     val (rewriteDF, partCols) =
       if (!useBroadcast) (merged, if (split) Seq("__part") else Nil)
@@ -489,7 +514,8 @@ object Merge {
           val nOut = math.max(1L, math.min(
             (decodedBytes + maxPart - 1) / math.max(1L, maxPart),
             4L * spark.sessionState.conf.numShufflePartitions)).toInt
-          val bounds = rangeBounds(nOut)
+          val bounds = (rangeBounds(nOut) ++ extentClusterBounds(32))
+            .distinct.sorted(Search.utf8Ordering)
           if (bounds.isEmpty) (merged, Nil)
           else (Cluster.exchangeByPid(merged,
             SearchOps.bucketOfStr(col("doc_id"), bounds), bounds.length + 1), Nil)
@@ -502,6 +528,16 @@ object Merge {
             concat(lit("r"), SearchOps.bucketOfStr(col("doc_id"), bounds)
               .cast("string"))), Seq("__part"))
       }
+    // Plan-evidence hook (zero-cost unless GRAFT_PLAN_DUMP is set):
+    // writes the rewrite's formatted physical plan so optimization
+    // claims are checkable offline against plans/r06/.
+    sys.env.get("GRAFT_PLAN_DUMP").foreach { d =>
+      val tag = if (!useBroadcast) "smj" else s"broadcast_$placement"
+      val p = java.nio.file.Paths.get(d, s"ns_merge_rewrite_$tag.txt")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, rewriteDF.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
     // Version-scoped output dir (same rationale as Compact/Cluster).
     val out = table.writeDataFilesTo(rewriteDF, s"data/$jobId-v${parent.version}",
       overwrite = true, sortBy = Some("doc_id"),

