@@ -27,6 +27,14 @@ case class GraftConfig(
   * [[graft.ingest.Ingest.parse]], Grpc through the proto3 wire decode
   * ([[graft.ingest.Ingest.parseProto]]) — the arm the reference
   * declares but leaves as a `todo!()` stub.
+  *
+  * DECLARATION-ONLY at the streaming entry point (ADVICE r5): the
+  * consumer loop ([[graft.streaming.StreamingIngest]]) carries a
+  * string-payload source and always runs the JSON parse; binary-payload
+  * pipelines call [[graft.ingest.Ingest.parseProto]] directly (as the
+  * driver's `p2_proto_parse` query does). Routing the Grpc arm from the
+  * config requires the consumer source to grow a byte-payload schema —
+  * out of scope until a binary source exists.
   */
 sealed trait MessageFormat
 object MessageFormat {

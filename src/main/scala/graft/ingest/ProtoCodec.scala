@@ -23,7 +23,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - schema field number never present -> `MissingField: <names>`
   *    (proto3 cannot distinguish "absent" from "explicitly default",
   *    so our encoder always writes present non-null fields, even
-  *    defaults — the standard explicit-presence convention)
+  *    defaults — the standard explicit-presence convention). Repeated
+  *    and map fields are exempt: proto3 gives them NO presence (zero
+  *    occurrences and an empty collection are the same bytes), so an
+  *    absent list/map decodes as the empty collection — the encoder's
+  *    own empty collections round-trip instead of dead-lettering
   *  - field present with the wrong wire type for its schema type, or a
   *    varint out of the declared 32-bit range, or corrupt packed/
   *    map/submessage payload            -> `TypeMismatch: <names>`
@@ -52,6 +56,12 @@ object ProtoCodec {
   final val I64 = 1
   final val LEN = 2
   final val I32 = 5
+
+  /** proto3 caps field numbers at 2^29 - 1; larger (crafted) tags are
+    * rejected as Malformed rather than truncated to Int, where a
+    * 2^31+k number would wrap onto schema column k (ADVICE r5).
+    */
+  final val MaxFieldNumber = 536870911L
 
   /** Structural wire corruption — becomes `ParseError` at top level,
     * `TypeMismatch` when confined to one field's LEN payload.
@@ -301,11 +311,12 @@ object ProtoCodec {
       val r = new Reader(bytes, 0, bytes.length)
       while (r.hasMore) {
         val tag = r.readVarint()
-        val field = (tag >>> 3).toInt
-        val wire = (tag & 7L).toInt
-        if (field <= 0) throw new Malformed("field number 0")
-        if (field <= n) {
-          val idx = field - 1
+        val fieldNum = tag >>> 3 // untruncated: a crafted 2^31+k tag must
+        val wire = (tag & 7L).toInt // never wrap onto schema column k
+        if (fieldNum <= 0 || fieldNum > MaxFieldNumber)
+          throw new Malformed(s"field number $fieldNum out of proto3 range")
+        if (fieldNum <= n) {
+          val idx = fieldNum.toInt - 1
           decodeKnown(r, wire, idx, schema(idx).dataType,
             scalars, buffers, mapKeys, mapVals, seen, mismatch)
         } else r.skip(wire)
@@ -314,20 +325,31 @@ object ProtoCodec {
       case m: Malformed => return Decoded("ParseError: " + m.msg, null)
     }
     // Taxonomy order mirrors the JSON path: missing first, then mismatch.
-    val missing = (0 until n).filter(i => !seen(i) && !mismatch(i))
+    // Repeated and map fields are EXEMPT from the missing check: proto3
+    // gives them no presence — zero occurrences and an empty collection
+    // are the same bytes — so absent decodes as empty (ADVICE r5: the
+    // encoder's own empty collections must round-trip, not dead-letter).
+    val missing = (0 until n).filter { i =>
+      !seen(i) && !mismatch(i) && (schema(i).dataType match {
+        case _: ArrayType | _: MapType => false
+        case _ => true
+      })
+    }
     if (missing.nonEmpty)
       return Decoded("MissingField: " + missing.map(schema(_).name).mkString(", "), null)
     val bad = (0 until n).filter(mismatch)
     if (bad.nonEmpty)
       return Decoded("TypeMismatch: " + bad.map(schema(_).name).mkString(", "), null)
     val values = new Array[Any](n)
+    def elems(store: Array[scala.collection.mutable.ArrayBuffer[Any]], i: Int) =
+      if (store(i) == null) Array.empty[Any] else store(i).toArray
     var i = 0
     while (i < n) {
       values(i) = schema(i).dataType match {
-        case ArrayType(_, _) => new GenericArrayData(buffers(i).toArray)
+        case ArrayType(_, _) => new GenericArrayData(elems(buffers, i))
         case MapType(_, _, _) =>
-          new ArrayBasedMapData(new GenericArrayData(mapKeys(i).toArray),
-            new GenericArrayData(mapVals(i).toArray))
+          new ArrayBasedMapData(new GenericArrayData(elems(mapKeys, i)),
+            new GenericArrayData(elems(mapVals, i)))
         case _ => scalars(i)
       }
       i += 1
@@ -460,13 +482,21 @@ object ProtoCodec {
             var value: Any = defaultOf(vt)
             while (s.hasMore) {
               val tag = s.readVarint()
-              val f = (tag >>> 3).toInt
+              val f = tag >>> 3 // untruncated (MaxFieldNumber rationale)
               val w = (tag & 7L).toInt
-              if (f == 1) key = decodeNestedValue(s, w, kt)
-              else if (f == 2) value = decodeNestedValue(s, w, vt)
+              if (f <= 0 || f > MaxFieldNumber)
+                throw new Malformed(s"field number $f out of proto3 range")
+              if (f == 1L) key = decodeNestedValue(s, w, kt)
+              else if (f == 2L) value = decodeNestedValue(s, w, vt)
               else s.skip(w)
             }
-            buf(mapKeys) += key; buf(mapVals) += value; seen(idx) = true
+            // proto3 map semantics: the LAST entry for a key wins —
+            // duplicate keys must not reach the MapData (element_at and
+            // map equality assume unique keys; ADVICE r5).
+            val existing = buf(mapKeys).indexOf(key)
+            if (existing >= 0) buf(mapVals)(existing) = value
+            else { buf(mapKeys) += key; buf(mapVals) += value }
+            seen(idx) = true
           } catch { case _: Malformed => mismatch(idx) = true }
         }
       case st: StructType =>
@@ -497,11 +527,12 @@ object ProtoCodec {
     }
     while (r.hasMore) {
       val tag = r.readVarint()
-      val field = (tag >>> 3).toInt
+      val fieldNum = tag >>> 3 // untruncated (MaxFieldNumber rationale)
       val wire = (tag & 7L).toInt
-      if (field <= 0) throw new Malformed("field number 0")
-      if (field <= n) {
-        val idx = field - 1
+      if (fieldNum <= 0 || fieldNum > MaxFieldNumber)
+        throw new Malformed(s"field number $fieldNum out of proto3 range")
+      if (fieldNum <= n) {
+        val idx = fieldNum.toInt - 1
         schema(idx).dataType match {
           case ArrayType(et, _) =>
             if (listBufs(idx) == null)

@@ -93,10 +93,49 @@ class ProtoSpec extends SparkSpec {
     assert(d.error == null && d.value == null)
   }
 
-  test("missing fields list in schema order") {
-    // only doc_id present
+  test("missing fields list in schema order (repeated fields have no presence)") {
+    // Only doc_id present: the scalar fields are missing; `tokens`
+    // (repeated) is NOT — proto3 repeated fields have no presence, so
+    // absent decodes as the empty list (ADVICE r5 round-trip fix).
     assert(decodeErr(bytes(0x0a, 0x02, 0x61, 0x62))
-      == "MissingField: tokens, n_tok, source")
+      == "MissingField: n_tok, source")
+  }
+
+  test("absent repeated/map fields decode as empty collections (round-trip)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("xs", ArrayType(StringType)),
+      StructField("m", MapType(StringType, LongType))))
+    // Only id=7 present (tag 1 VARINT).
+    val d = ProtoCodec.decode(bytes(0x08, 0x07), schema)
+    assert(d.error == null)
+    assert(d.value.getArray(1).numElements() == 0)
+    assert(d.value.getMap(2).numElements() == 0)
+  }
+
+  test("duplicate map keys: last entry wins (proto3 map semantics)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("m", MapType(StringType, LongType))))
+    // Two entries for key "a": 1 then 9 -> map must hold a->9 only.
+    def entry(v: Int) = bytes(0x0a, 0x05, 0x0a, 0x01, 0x61, 0x10, v)
+    val d = ProtoCodec.decode(entry(1) ++ entry(9), schema)
+    assert(d.error == null)
+    val m = d.value.getMap(0)
+    assert(m.numElements() == 1)
+    assert(m.valueArray().getLong(0) == 9L)
+  }
+
+  test("field numbers above 2^29-1 are Malformed, never wrapped onto a column") {
+    // tag = (2^31 + 1) << 3 | VARINT: would truncate to field 1 via
+    // .toInt; must be rejected as ParseError instead.
+    val w = new java.io.ByteArrayOutputStream()
+    var tag = ((1L << 31) + 1L) << 3
+    while ((tag & ~0x7fL) != 0) { w.write((((tag & 0x7f) | 0x80).toInt)); tag >>>= 7 }
+    w.write(tag.toInt)
+    w.write(0x07) // the varint payload
+    val d = ProtoCodec.decode(w.toByteArray, tokenSchema)
+    assert(d.error != null && d.error.startsWith("ParseError"), d.error)
   }
 
   test("wrong wire type is a TypeMismatch, not a parse abort") {
